@@ -1,0 +1,43 @@
+"""Default-config path: hrnet32 rootnet backbone (the shipped default)."""
+
+import jax
+import jax.numpy as jnp
+
+from horopose_tpu import constants as C
+from horopose_tpu.models import FullNet
+from horopose_tpu.ops import transforms as T
+
+
+def test_fullnet_default_hrnet_rootnet():
+    model = FullNet(
+        robot_type="panda", dof=8, num_keypoints=7, image_size=64,
+        depth_dim=8, backbone_name="resnet50",
+        rootnet_backbone_name="hrnet32",
+        init_pose=tuple(C.initial_joint_vector("mean", "panda").tolist()))
+    B = 1
+    x = jnp.zeros((B, 64, 64, 3))
+    k = jnp.full((B,), 1500.0)
+    K = jnp.broadcast_to(T.make_K(320.0, 320.0, 32.0, 32.0), (B, 3, 3))
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x, x, k, K,
+                           train=False)
+    out = model.apply(variables, x, x, k, K, train=False)
+    assert out["pose"].shape == (B, 8)
+    assert out["depth"].shape == (B, 1)
+
+
+def test_fullnet_hrnet_reg_backbone():
+    model = FullNet(
+        robot_type="panda", dof=8, num_keypoints=7, image_size=64,
+        depth_dim=8, backbone_name="hrnet32",
+        rootnet_backbone_name="resnet34",
+        init_pose=tuple(C.initial_joint_vector("mean", "panda").tolist()))
+    B = 1
+    x = jnp.zeros((B, 64, 64, 3))
+    k = jnp.full((B,), 1500.0)
+    K = jnp.broadcast_to(T.make_K(320.0, 320.0, 32.0, 32.0), (B, 3, 3))
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key}, x, x, k, K,
+                           train=False)
+    out = model.apply(variables, x, x, k, K, train=False)
+    assert out["uvd"].shape == (B, 7, 3)
