@@ -1,0 +1,71 @@
+"""Experiment management: directories, scalar logging, config copy.
+
+Parity target: /root/reference/lib/utils/utils.py:50-60 (create_logger) and
+the TensorBoard scalar streams of section 5.5 of SURVEY.md. TensorBoard is
+used when available (torch ships in the image); a JSONL scalar log is always
+written so headless environments keep full observability.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Optional
+
+
+class ScalarWriter:
+    """TensorBoard + JSONL dual writer."""
+
+    def __init__(self, log_dir: str):
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a",
+                           buffering=1)
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(log_dir=log_dir)
+        except Exception:
+            pass
+
+    def add_scalar(self, tag: str, value, step: int):
+        value = float(value)
+        self._jsonl.write(json.dumps(
+            dict(tag=tag, value=value, step=int(step), t=time.time())) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, value, step)
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+
+
+def create_logger(cfg, exp_root: str = "experiments"):
+    """experiments/{exp_name}/{ckpt,log}/ + config copy (utils.py:50-60)."""
+    save_folder = os.path.join(exp_root, cfg.exp_name)
+    ckpt_folder = os.path.join(save_folder, "ckpt")
+    log_folder = os.path.join(save_folder, "log")
+    os.makedirs(ckpt_folder, exist_ok=True)
+    os.makedirs(log_folder, exist_ok=True)
+    writer = ScalarWriter(log_folder)
+    if cfg.config_path and os.path.exists(cfg.config_path):
+        shutil.copy(cfg.config_path, os.path.join(save_folder, "config.yaml"))
+    return save_folder, ckpt_folder, log_folder, writer
+
+
+class AverageMeter:
+    """Streaming mean (torchnet AverageValueMeter equivalent)."""
+
+    def __init__(self):
+        self.sum = 0.0
+        self.n = 0
+
+    def add(self, value, n: int = 1):
+        self.sum += float(value) * n
+        self.n += n
+
+    @property
+    def mean(self) -> float:
+        return self.sum / self.n if self.n else 0.0

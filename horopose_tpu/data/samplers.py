@@ -1,0 +1,143 @@
+"""Samplers and a threaded prefetching loader.
+
+Parity targets (reference, PyTorch):
+  /root/reference/lib/dataset/samplers.py:7-31           PartialSampler/List
+  /root/reference/lib/dataset/multiepoch_dataloader.py   persistent workers
+
+TPU-native design: instead of torch DataLoader + fork workers, a simple
+thread pool (PIL/numpy release the GIL for the heavy work) with double-
+buffered batch prefetch; workers stay alive across epochs (the reference's
+MultiEpochDataLoader exists solely to avoid worker respawn cost). Batches
+are dicts of stacked numpy arrays ready for jnp.asarray.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class PartialSampler:
+    """Random subset of epoch_size indices per epoch (samplers.py:7-20)."""
+
+    def __init__(self, ds, epoch_size: Optional[int], seed: int = 808):
+        self.n_items = len(ds)
+        self.epoch_size = min(epoch_size, self.n_items) if epoch_size \
+            else self.n_items
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.epoch_size
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self._rng.permutation(self.n_items)[:self.epoch_size]
+                    .tolist())
+
+
+class ListSampler:
+    """Fixed index replay, for best/worst-case visualization passes
+    (samplers.py:23-31)."""
+
+    def __init__(self, ids: Sequence[int]):
+        self.ids = list(ids)
+
+    def __len__(self):
+        return len(self.ids)
+
+    def __iter__(self):
+        return iter(self.ids)
+
+
+def collate(samples: List[Dict]) -> Dict:
+    """Stack a list of sample dicts (recursively) into batched arrays."""
+    out = {}
+    for key in samples[0]:
+        vals = [s[key] for s in samples]
+        if isinstance(vals[0], dict):
+            out[key] = collate(vals)
+        else:
+            out[key] = np.stack([np.asarray(v) for v in vals])
+    return out
+
+
+class DataLoader:
+    """Threaded prefetching loader with persistent workers.
+
+    drop_last defaults True for training (static batch shapes keep XLA from
+    recompiling); eval pads the final batch instead (see pad_batch).
+    """
+
+    def __init__(self, dataset, batch_size: int, sampler=None,
+                 num_workers: int = 4, drop_last: bool = True,
+                 prefetch: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+
+    def __len__(self):
+        n = len(self.sampler) if self.sampler is not None else len(self.dataset)
+        return n // self.batch_size if self.drop_last else \
+            -(-n // self.batch_size)
+
+    def __iter__(self):
+        indices = list(iter(self.sampler)) if self.sampler is not None \
+            else list(range(len(self.dataset)))
+        batches = [indices[i:i + self.batch_size]
+                   for i in range(0, len(indices), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        batch_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(
+                            self.dataset.__getitem__, b))
+                        batch_q.put(collate(samples))
+            except Exception as e:  # surface worker errors to the consumer
+                batch_q.put(e)
+            finally:
+                batch_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = batch_q.get()
+                if item is None:
+                    break
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+def pad_batch(batch: Dict, target: int):
+    """Pad a (possibly short) batch to `target` along axis 0 by repeating the
+    last element; returns (padded_batch, n_valid)."""
+    def pad(x):
+        if isinstance(x, dict):
+            return {k: pad(v) for k, v in x.items()}
+        n = x.shape[0]
+        if n == target:
+            return x
+        reps = np.repeat(x[-1:], target - n, axis=0)
+        return np.concatenate([x, reps], axis=0)
+
+    n_valid = next(iter(batch.values()))
+    n_valid = n_valid.shape[0] if not isinstance(n_valid, dict) else \
+        next(iter(n_valid.values())).shape[0]
+    return pad(batch), n_valid

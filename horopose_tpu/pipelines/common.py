@@ -1,0 +1,111 @@
+"""Shared pipeline plumbing: datasets, robot/model construction, seeding.
+
+Parity target: /root/reference/lib/utils/utils.py:63-144 (get_dataloaders)
+— train set from cfg.train_ds_names, test sets derived by the
+train_dr -> test_dr / test_photo naming convention, plus the 4 real Panda
+camera sets when they exist on disk.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, Optional
+
+import numpy as np
+
+from horopose_tpu import constants as C
+from horopose_tpu.config import resolve_urdf_path
+from horopose_tpu.data import DataLoader, DreamDataset, PartialSampler
+from horopose_tpu.kinematics import Robot
+from horopose_tpu.models import FullNet
+
+REAL_DS_SHORTS = ("azure", "kinect", "realsense", "orb")
+
+
+def set_seed(seed: int = C.GLOBAL_SEED):
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def make_robot(cfg) -> Robot:
+    return Robot(cfg.urdf_robot_name,
+                 urdf_path=resolve_urdf_path(cfg.urdf_robot_name))
+
+
+def build_fullnet(cfg) -> FullNet:
+    robot_type = cfg.urdf_robot_name
+    return FullNet(
+        robot_type=robot_type,
+        dof=C.DOF[robot_type],
+        num_keypoints=C.NUM_KEYPOINTS[robot_type],
+        backbone_name=cfg.backbone_name,
+        rootnet_backbone_name=cfg.rootnet_backbone_name,
+        image_size=int(cfg.image_size),
+        bbox_3d_shape=tuple(cfg.bbox_3d_shape),
+        reference_keypoint_id=int(cfg.reference_keypoint_id),
+        fix_root=bool(cfg.fix_root),
+        n_iter=int(cfg.n_iter),
+        p_dropout=float(cfg.p_dropout),
+        rotation_dim=int(cfg.rotation_dim),
+        direct_reg_rot=bool(cfg.direct_reg_rot),
+        rot_iterative_matmul=bool(cfg.rot_iterative_matmul),
+        reg_joint_map=bool(cfg.reg_joint_map),
+        joint_conv_dim=tuple(cfg.joint_conv_dim) or (256, 256, 256),
+        joint_bounds=C.JOINT_BOUNDS[robot_type] if cfg.reg_joint_map else None,
+        add_fc=bool(cfg.add_fc),
+        multi_kp=bool(cfg.multi_kp),
+        kps_need_depth=tuple(cfg.kps_need_depth) if cfg.kps_need_depth
+        else None,
+        init_pose=tuple(C.initial_joint_vector(
+            "mean", robot_type).tolist()),
+    )
+
+
+def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
+    return DreamDataset(
+        path,
+        rootnet_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
+        other_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
+        color_jitter=cfg.jitter if train else False,
+        rgb_augmentation=cfg.other_aug if train else False,
+        occlusion_augmentation=cfg.occlusion if train else False,
+        occlu_p=cfg.occlu_p,
+        extend_ratio=cfg.extend_ratio,
+    )
+
+
+def get_dataloaders(cfg) -> Dict:
+    """Build train loader + {dsname: eval loader}. Eval sets that are not on
+    disk are skipped (the fabricated-fixture workflow and partial DREAM
+    downloads both rely on this)."""
+    train_path = cfg.train_ds_names
+    robot = cfg.urdf_robot_name
+    out: Dict = {"test": {}}
+
+    ds_train = _mk_dataset(cfg, train_path, train=True)
+    sampler = PartialSampler(ds_train, cfg.epoch_size)
+    out["train"] = DataLoader(ds_train, batch_size=cfg.batch_size,
+                              sampler=sampler,
+                              num_workers=cfg.n_dataloader_workers,
+                              drop_last=True)
+    out["train_dataset"] = ds_train
+
+    candidates = {"dr": train_path.replace("train_dr", "test_dr")}
+    if robot != "baxter":
+        candidates["photo"] = train_path.replace("train_dr", "test_photo")
+    if robot == "panda":
+        for short in REAL_DS_SHORTS:
+            candidates[short] = os.path.join(
+                os.path.dirname(os.path.dirname(train_path)),
+                "real", f"panda-3cam_{short}" if short != "orb"
+                else "panda-orb")
+    for name, path in candidates.items():
+        if os.path.isdir(path) and os.path.abspath(path) != \
+                os.path.abspath(train_path):
+            ds = _mk_dataset(cfg, path, train=False)
+            if len(ds):
+                out["test"][name] = DataLoader(
+                    ds, batch_size=cfg.batch_size,
+                    num_workers=cfg.n_dataloader_workers, drop_last=False)
+    return out

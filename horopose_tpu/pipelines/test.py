@@ -1,0 +1,186 @@
+"""Evaluation / benchmarking harness.
+
+Parity target: /root/reference/scripts/test.py:41-409 — rebuild the model
+from a saved experiment's config.yaml, run the full eval battery over a
+chosen DREAM test set, write `result/summary.txt` with ~25 named metrics
+plus runtimes/FPS, and the ADD distribution curve data.
+
+Timing, TPU-native: instead of in-model stopwatches with CUDA-stream syncs
+(full_net.py:253-392), the whole-forward latency is measured with
+block_until_ready around the jitted step (steady state, compile excluded).
+The reference's "FPS_parallel" models its two backbone branches overlapping;
+under XLA the branches are independent subgraphs already scheduled together,
+so whole-forward FPS is the honest number and is reported for both fields.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+
+import jax
+import numpy as np
+import yaml
+
+from horopose_tpu.config import make_cfg
+from horopose_tpu.core.checkpoint import load_checkpoint_file, restore_state
+from horopose_tpu.core.engine import (build_full_eval_step,
+                                      create_train_state, make_optimizer)
+from horopose_tpu.core.loggers import AverageMeter
+from horopose_tpu.core.metrics import (ADD_THRESHOLDS_MM, PCK_THRESHOLDS_PX,
+                                       compute_metrics_batch, summary_add_pck)
+from horopose_tpu.data import DataLoader, DreamDataset
+from horopose_tpu.data.samplers import pad_batch
+from horopose_tpu.ops.rotations import euler_from_rotmat, rot_to_rotmat
+from horopose_tpu.pipelines.common import build_fullnet, make_robot, set_seed
+
+
+def make_test_cfg(exp_path: str, dataset_path: str):
+    """Rebuild cfg from the experiment's saved config.yaml
+    (test.py:325-396)."""
+    cfg_path = os.path.join(exp_path, "config.yaml")
+    cfg = make_cfg(cfg_path)
+    cfg.test_ds_names = dataset_path
+    cfg.exp_path = exp_path
+    return cfg
+
+
+def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
+                 batch_size: int = 128, max_batches: int = None):
+    set_seed()
+    robot = make_robot(cfg)
+    result_path = os.path.join(cfg.exp_path, "result")
+    os.makedirs(result_path, exist_ok=True)
+
+    model = build_fullnet(cfg)
+    tx = make_optimizer(cfg, 1)
+    import jax.numpy as jnp
+    size = int(cfg.image_size)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, size, size, 3)),
+                           jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
+                           jnp.eye(3)[None], train=False)
+    state = create_train_state(variables, tx)
+    ckpt_path = os.path.join(cfg.exp_path, "ckpt", ckpt_name)
+    ckpt_epoch = -1
+    if os.path.exists(ckpt_path):
+        payload = load_checkpoint_file(ckpt_path)
+        state = restore_state(state, payload)
+        ckpt_epoch = int(payload["epoch"])
+    else:
+        print(f"[test] WARNING: checkpoint {ckpt_path} not found, "
+              "evaluating random init")
+
+    ds = DreamDataset(cfg.test_ds_names, color_jitter=False,
+                      rgb_augmentation=False, occlusion_augmentation=False,
+                      rootnet_resize_hw=(size, size),
+                      other_resize_hw=(size, size),
+                      extend_ratio=cfg.extend_ratio)
+    loader = DataLoader(ds, batch_size=batch_size, num_workers=8,
+                        drop_last=False)
+    eval_step = build_full_eval_step(cfg, model, robot)
+
+    alldis = defaultdict(list)
+    alldis_rel = defaultdict(list)
+    metric_l1joint = [AverageMeter() for _ in range(robot.dof)]
+    time_image = AverageMeter()
+    n_images = 0
+
+    for bi, batch in enumerate(loader):
+        if max_batches and bi >= max_batches:
+            break
+        bsz = batch["TCO"].shape[0]
+        batch, n_valid = pad_batch(batch, batch_size)
+        t0 = time.time()
+        preds, gts, logs = eval_step(state, batch)
+        preds = {k: np.asarray(v) for k, v in preds.items()}
+        t1 = time.time()
+        if bi > 0:  # exclude compile
+            time_image.add((t1 - t0) / batch_size, n=batch_size)
+        gts = {k: np.asarray(v) for k, v in gts.items()}
+        K_orig = np.asarray(batch["K_original"], np.float32)
+        kp2d_orig = np.asarray(batch["keypoints_2d_original"], np.float32)
+        m_fk = compute_metrics_batch(
+            robot=robot, gt_keypoints3d=gts["gt_keypoints3d"],
+            gt_keypoints2d=kp2d_orig, K_original=K_orig,
+            gt_joint=gts["gt_pose_before_mask"],
+            pred_keypoints3d=preds["xyz_fk"], pred_joint=preds["pose"],
+            reference_keypoint_id=int(cfg.reference_keypoint_id))
+        # rotation error (euler-free geodesic + reference's euler L1)
+        Rp = np.asarray(rot_to_rotmat(preds["rot"]))
+        Rg = np.asarray(rot_to_rotmat(gts["gt_root_rot"]))
+        ep = np.asarray(euler_from_rotmat(Rp))
+        eg = np.asarray(euler_from_rotmat(Rg))
+        rotang = np.abs(ep - eg).mean(axis=1)
+
+        sl = slice(0, n_valid)
+        alldis["dis3d"].extend(m_fk["image_dis3d_avg"][sl])
+        alldis["dis2d"].extend(m_fk["image_dis2d_avg"][sl])
+        alldis["jointerror"].extend(m_fk["image_l1jointerror_avg"][sl])
+        alldis["deptherror"].extend(
+            np.asarray(m_fk["root_depth_error"])[sl].tolist())
+        alldis["deptherror_relative"].extend(
+            np.asarray(m_fk["batch_error_relative"])[sl].tolist())
+        alldis["mean_rot_angle"].extend(rotang[sl].tolist())
+        alldis_rel["dis3d"].extend(
+            np.asarray(m_fk["error3d_relative"])[sl].tolist())
+        alldis_rel["dis2d"].extend(m_fk["image_dis2d_avg"][sl])
+        for i in range(robot.dof):
+            metric_l1joint[i].add(m_fk["batch_l1jointerror_avg"][i])
+        n_images += bsz
+
+    summary = summary_add_pck(alldis)
+    summary_rel = summary_add_pck(alldis_rel)
+    mean_joint_error = float(np.mean(alldis["jointerror"]) / np.pi * 180.0)
+    mean_depth_error = float(np.mean(alldis["deptherror"]))
+    mean_rot_error = float(np.mean(alldis["mean_rot_angle"]) / np.pi * 180.0)
+    rel_depth_error = float(np.mean(alldis["deptherror_relative"]))
+    fps = 1.0 / time_image.mean if time_image.mean > 0 else 0.0
+
+    lines = [
+        "Model metrics summary",
+        f"Dataset for testing: {cfg.test_ds_names}",
+        f"This model was saved from epoch:{ckpt_epoch}",
+        f"Joint_l1_error/mean (degree): {mean_joint_error}",
+        f"Depth_l1_error/mean (m): {mean_depth_error}",
+        f"Rotation_l1_error/mean (degree): {mean_rot_error}",
+        f"Relative_l1_error/mean (m): {rel_depth_error}",
+        f"Relative_ADD/AUC: {summary_rel['ADD/AUC']}",
+        f"ADD/AUC: {summary['ADD/AUC']}",
+        f"ADD/mean (m): {summary['ADD/mean']}",
+        f"ADD/median (m): {summary['ADD/median']}",
+        f"PCK/AUC: {summary['PCK/AUC']}",
+        f"ADD_2D/mean (pixel): {summary['ADD_2D/mean']}",
+        f"ADD_2D/median (pixel): {summary['ADD_2D/median']}",
+    ]
+    for th in ADD_THRESHOLDS_MM:
+        lines.append(f"ADD<{th}mm: {summary[f'ADD_{th}_mm']}")
+    for th in PCK_THRESHOLDS_PX:
+        lines.append(f"ADD_2d<{th}pixel: {summary[f'PCK_{th}_pixel']}")
+    for i in range(robot.dof):
+        lines.append(f"Joint_l1_error/joint_{i + 1} (degree): "
+                     f"{metric_l1joint[i].mean / np.pi * 180.0}")
+    lines += [
+        "Runtimes:",
+        f"Runtime of all: {time_image.mean}",
+        f"FPS_parallel: {int(fps)}",
+        f"FPS: {int(fps)}",
+        "",
+    ]
+    with open(os.path.join(result_path, "summary.txt"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    # ADD curve raw data (plot-free environments keep the numbers)
+    with open(os.path.join(result_path, "add_distribution.json"), "w") as f:
+        json.dump(dict(dis3d=list(map(float, alldis["dis3d"])),
+                       auc=summary["ADD/AUC"]), f)
+    try:
+        from horopose_tpu.core.vis import draw_add_curve
+        draw_add_curve(alldis, result_path, cfg.test_ds_names,
+                       auc=summary["ADD/AUC"])
+    except Exception as e:
+        print(f"[test] ADD curve plot skipped: {e}")
+    print("\n".join(lines))
+    return summary

@@ -1,0 +1,110 @@
+"""Stage-1 DepthNet training pipeline.
+
+Parity target: /root/reference/scripts/train_depthnet.py:19-421 — train the
+RootNet depth estimator on the synthetic train set, validate on test_dr /
+test_photo / the 4 real Panda sets, keep best-by-depth-error checkpoints per
+dataset with the epoch-regression guard.
+
+TPU-native: one jitted train step (normalize + forward + loss + update), a
+jitted eval step, host-side meters only at epoch granularity.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from horopose_tpu import constants as C
+from horopose_tpu.core.checkpoint import (BestCheckpointKeeper,
+                                          load_checkpoint_file, restore_state)
+from horopose_tpu.core.engine import (build_depthnet_eval_step,
+                                      build_depthnet_train_step,
+                                      create_train_state, make_optimizer)
+from horopose_tpu.core.loggers import AverageMeter, create_logger
+from horopose_tpu.models.depth_net import RootNet
+from horopose_tpu.parallel import make_mesh, shard_batch
+from horopose_tpu.pipelines.common import get_dataloaders, set_seed
+
+
+def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None):
+    set_seed()
+    save_folder, ckpt_folder, _, writer = create_logger(cfg)
+    loaders = get_dataloaders(cfg)
+    train_loader = loaders["train"]
+    steps_per_epoch = max(len(train_loader), 1)
+
+    model = RootNet(backbone_name=cfg.backbone_name,
+                    pred_xy=bool(cfg.use_rootnet_xy_branch),
+                    use_offset=bool(cfg.use_offset),
+                    add_fc=bool(cfg.add_fc),
+                    input_size=int(cfg.image_size))
+    rng = jax.random.PRNGKey(C.GLOBAL_SEED)
+    size = int(cfg.image_size)
+    dummy_img = jnp.zeros((1, size, size, 3))
+    dummy_k = jnp.ones((1,))
+    variables = model.init({"params": rng, "dropout": rng}, dummy_img,
+                           dummy_k, train=False)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    state = create_train_state(variables, tx)
+
+    mesh = None
+    if cfg.mesh_shape:
+        mesh = make_mesh(int(np.prod(cfg.mesh_shape)))
+
+    keeper = BestCheckpointKeeper(ckpt_folder, cfg.urdf_robot_name,
+                                  template="curr_best_root_depth"
+                                           "(wholistic)_DATASET_model.pk",
+                                  mode="min")
+    start_epoch = 0
+    if cfg.resume_run:
+        resume_path = os.path.join("experiments", cfg.resume_experiment_name,
+                                   "ckpt", keeper.paths["dr"].split(os.sep)[-1])
+        payload = load_checkpoint_file(resume_path)
+        state = restore_state(state, payload)
+        start_epoch = int(payload["epoch"]) + 1
+        keeper.resume()
+
+    train_step = build_depthnet_train_step(cfg, model, tx)
+    eval_step = build_depthnet_eval_step(cfg, model)
+
+    def validate(name, loader, epoch):
+        loss_meter = AverageMeter()
+        errors = []
+        for batch in loader:
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            out = eval_step(state, batch)
+            loss_meter.add(float(out["loss"]))
+            errors.extend(np.asarray(out["error_depth"]).tolist())
+        mean_err = float(np.mean(errors)) if errors else float("inf")
+        writer.add_scalar(f"Val/rootz_loss_{name}", loss_meter.mean, epoch)
+        writer.add_scalar(f"Val/mean_depth_error_{name}", mean_err, epoch)
+        return mean_err
+
+    n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
+    for epoch in range(start_epoch, n_epochs):
+        loss_meter = AverageMeter()
+        for batchid, batch in enumerate(train_loader):
+            if max_steps_per_epoch and batchid >= max_steps_per_epoch:
+                break
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            rng, step_rng = jax.random.split(rng)
+            state, logs = train_step(state, batch, step_rng)
+            loss_meter.add(float(logs["loss"]))
+            if (batchid + 1) % 100 == 0:
+                writer.add_scalar("Train/loss", loss_meter.mean,
+                                  epoch * steps_per_epoch + batchid + 1)
+        writer.add_scalar("Train/loss_epoch", loss_meter.mean, epoch)
+
+        depth_errors = {}
+        for name, loader in loaders["test"].items():
+            depth_errors[name] = validate(name, loader, epoch)
+        keeper.maybe_save(depth_errors, state, epoch)
+        print(f"[depthnet] epoch {epoch}: train_loss={loss_meter.mean:.4f} "
+              f"depth_errors={depth_errors}")
+    writer.close()
+    return state

@@ -1,0 +1,107 @@
+"""Data pipeline tests against the fabricated DREAM fixture."""
+
+import numpy as np
+import pytest
+
+from horopose_tpu.data import DataLoader, DreamDataset, PartialSampler
+from horopose_tpu.data.samplers import pad_batch
+
+from fixtures import make_synthetic_dream_dataset
+
+
+@pytest.fixture(scope="module")
+def dream_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("dream")
+    return make_synthetic_dream_dataset(base, "panda", n_images=6)
+
+
+def test_dataset_reads_and_shapes(dream_dir):
+    ds = DreamDataset(dream_dir, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False)
+    assert len(ds) == 6
+    assert ds.scale == 0.01
+    s = ds[0]
+    assert s["root"]["images"].shape == (256, 256, 3)
+    assert s["other"]["images"].shape == (256, 256, 3)
+    assert s["jointpose"].shape == (8,)
+    assert s["TCO"].shape == (4, 4)
+    assert s["keypoints_3d_original"].shape == (7, 3)
+    assert s["valid_mask"].shape == (7,)
+
+
+def test_crop_keypoints_project_consistently(dream_dir):
+    """Reprojecting the 3D keypoints with the crop K must land on the
+    keypoints_2d stored for the crop (they are computed that way), and those
+    must fall inside the crop for a robot well inside the frame."""
+    ds = DreamDataset(dream_dir, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False)
+    s = ds[1]
+    K = s["other"]["K"]
+    kp3 = s["other"]["keypoints_3d"]
+    proj = (K @ kp3.T).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    np.testing.assert_allclose(proj, s["other"]["keypoints_2d"], atol=1e-3)
+
+
+def test_tco_matches_fk_keypoints(dream_dir):
+    """TCO @ FK(joints) must reproduce the annotated 3D keypoints — the
+    ground-truth chain the losses rely on (dream.py's TWO decode + our FK)."""
+    import jax.numpy as jnp
+    from horopose_tpu.kinematics import Robot
+    ds = DreamDataset(dream_dir, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False)
+    robot = Robot("panda")
+    s = ds[2]
+    kp_base = np.asarray(robot.get_keypoints_only_fk(
+        jnp.asarray(s["jointpose"])[None]))[0]
+    R, t = s["TCO"][:3, :3], s["TCO"][:3, 3]
+    kp_cam = (R @ kp_base.T).T + t
+    np.testing.assert_allclose(kp_cam, s["keypoints_3d_original"], atol=1e-4)
+
+
+def test_augmentations_dont_change_annotations(dream_dir):
+    ds_plain = DreamDataset(dream_dir, color_jitter=False,
+                            rgb_augmentation=False,
+                            occlusion_augmentation=False)
+    ds_aug = DreamDataset(dream_dir, color_jitter=True, rgb_augmentation=True,
+                          occlusion_augmentation=True, occlu_p=1.0)
+    a, b = ds_plain[0], ds_aug[0]
+    np.testing.assert_allclose(a["TCO"], b["TCO"])
+    np.testing.assert_allclose(a["other"]["keypoints_2d"],
+                               b["other"]["keypoints_2d"], atol=1e-5)
+    # images should differ (occlusion p=1)
+    assert (a["other"]["images"] != b["other"]["images"]).any()
+
+
+def test_dataloader_batches(dream_dir):
+    ds = DreamDataset(dream_dir, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False)
+    loader = DataLoader(ds, batch_size=4, sampler=PartialSampler(ds, None),
+                        num_workers=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 1  # 6 // 4
+    b = batches[0]
+    assert b["root"]["images"].shape == (4, 256, 256, 3)
+    assert b["jointpose"].shape == (4, 8)
+    assert b["other"]["K"].shape == (4, 3, 3)
+
+
+def test_dataloader_no_drop_and_pad(dream_dir):
+    ds = DreamDataset(dream_dir, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False)
+    loader = DataLoader(ds, batch_size=4, num_workers=2, drop_last=False)
+    batches = list(loader)
+    assert len(batches) == 2
+    padded, n_valid = pad_batch(batches[-1], 4)
+    assert n_valid == 2
+    assert padded["root"]["images"].shape[0] == 4
+
+
+def test_partial_sampler_subsets():
+    class FakeDS:
+        def __len__(self):
+            return 100
+    s = PartialSampler(FakeDS(), 10)
+    idx = list(iter(s))
+    assert len(idx) == 10
+    assert len(set(idx)) == 10
