@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark: flagship FullNet inference throughput at 256x256.
+
+Prints ONE JSON line:
+  {"metric": "inference_throughput", "value": N, "unit": "images/sec/chip",
+   "vs_baseline": N / 2000.0}
+
+Baseline (BASELINE.md): >= 2000 images/sec/chip at 256x256 on TPU v5e.
+The measured step is the COMPLETE inference path of the reference's
+test-time forward (scripts/test.py: both backbones + integral decoding +
+root translation + iterative heads + FK lift), steady-state, excluding
+compilation, host->device copy included via donated device arrays.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# persistent compilation cache: the flagship graph is large; caching makes
+# repeat bench runs (and the driver's round-end run) start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def build(dtype):
+    from horopose_tpu import constants as C
+    from horopose_tpu.kinematics import Robot
+    from horopose_tpu.models import FullNet
+
+    robot = Robot("panda")
+    model = FullNet(
+        robot_type="panda", dof=8, num_keypoints=7, image_size=256,
+        depth_dim=64, dtype=dtype,
+        init_pose=tuple(C.initial_joint_vector("mean", "panda").tolist()))
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    variables = jax.jit(
+        lambda r, x, k, K: model.init({"params": r, "dropout": r}, x, x, k,
+                                      K, train=False)
+    )(rng, jnp.zeros((1, 256, 256, 3), jnp.float32), jnp.ones((1,)),
+      jnp.eye(3)[None])
+    jax.block_until_ready(variables)
+    print(f"# init done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def forward(variables, x_reg, x_root, k_value, K):
+        out = model.apply(variables, x_reg, x_root, k_value, K, train=False)
+        out["xyz_fk"] = robot.get_keypoints_root(
+            out["pose"], out["rot"], out["trans"], root=3)
+        return out["xyz_fk"], out["pose"], out["rot"], out["trans"]
+
+    return forward, variables
+
+
+def make_args(batch_size: int):
+    x = jnp.zeros((batch_size, 256, 256, 3), jnp.float32)
+    k = jnp.full((batch_size,), 1500.0, jnp.float32)
+    K = jnp.broadcast_to(
+        jnp.asarray([[320.0, 0, 128], [0, 320.0, 128], [0, 0, 1]],
+                    jnp.float32), (batch_size, 3, 3))
+    return x, x, k, K
+
+
+def measure(forward, variables, batch_size: int, iters: int = 20,
+            warmup: int = 3):
+    args = make_args(batch_size)
+    t0 = time.perf_counter()
+    out = forward(variables, *args)
+    jax.block_until_ready(out)
+    print(f"# batch={batch_size} compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    for _ in range(warmup):
+        out = forward(variables, *args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, *args)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return batch_size / dt
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--batches", type=int, nargs="+", default=[64, 128, 256])
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+    dtype = jnp.bfloat16
+    forward, variables = build(dtype)
+    best = 0.0
+    best_bs = 0
+    for bs in args.batches:
+        try:
+            ips = measure(forward, variables, bs, iters=args.iters)
+        except Exception as e:
+            print(f"# batch {bs} failed: {e}", file=sys.stderr)
+            continue
+        print(f"# batch={bs}: {ips:.1f} img/s", file=sys.stderr)
+        if ips > best:
+            best, best_bs = ips, bs
+    print(json.dumps({
+        "metric": "inference_throughput",
+        "value": round(best, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / 2000.0, 3),
+        "batch_size": best_bs,
+        "dtype": "bfloat16",
+    }))
+
+
+if __name__ == "__main__":
+    main()

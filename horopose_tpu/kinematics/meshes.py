@@ -1,0 +1,155 @@
+"""Triangle meshes for rendering: OBJ loading + URDF primitive meshing.
+
+Replaces the mesh plumbing of the reference renderer
+(/root/reference/lib/utils/mesh_renderer.py:61-140 loads per-link OBJ files;
+lib/utils/urdfpytorch loads visual meshes via trimesh). Here:
+  - a dependency-free OBJ reader (vertices + triangulated faces),
+  - primitive meshing (box / cylinder / sphere) so the built-in URDF
+    descriptions render without mesh assets,
+  - a RobotMesh bundle: per-link vertices concatenated with static face
+    indices and a vertex->link map, so posing the whole robot is ONE gather
+    + batched transform (the reference rebuilds trimesh objects per batch,
+    train_sim2real.py:406-416).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from horopose_tpu.kinematics.urdf import Geometry, URDFModel
+
+
+def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Minimal OBJ reader -> (verts (V,3) f32, faces (F,3) i32)."""
+    verts: List[List[float]] = []
+    faces: List[List[int]] = []
+    with open(path, "r", errors="ignore") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]),
+                              float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) - 1 for tok in line.split()[1:]]
+                for i in range(1, len(idx) - 1):  # fan-triangulate
+                    faces.append([idx[0], idx[i], idx[i + 1]])
+    return (np.asarray(verts, np.float32),
+            np.asarray(faces, np.int32).reshape(-1, 3))
+
+
+def box_mesh(size) -> Tuple[np.ndarray, np.ndarray]:
+    sx, sy, sz = [s / 2 for s in size]
+    v = np.array([[x, y, z] for x in (-sx, sx) for y in (-sy, sy)
+                  for z in (-sz, sz)], np.float32)
+    f = np.array([
+        [0, 1, 3], [0, 3, 2], [4, 6, 7], [4, 7, 5],
+        [0, 4, 5], [0, 5, 1], [2, 3, 7], [2, 7, 6],
+        [0, 2, 6], [0, 6, 4], [1, 5, 7], [1, 7, 3],
+    ], np.int32)
+    return v, f
+
+
+def cylinder_mesh(radius: float, length: float,
+                  n: int = 16) -> Tuple[np.ndarray, np.ndarray]:
+    """Cylinder along +z, centered at origin (URDF convention)."""
+    ang = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    circle = np.stack([radius * np.cos(ang), radius * np.sin(ang)], axis=1)
+    bot = np.concatenate([circle, np.full((n, 1), -length / 2)], axis=1)
+    top = np.concatenate([circle, np.full((n, 1), length / 2)], axis=1)
+    centers = np.array([[0, 0, -length / 2], [0, 0, length / 2]], np.float32)
+    v = np.concatenate([bot, top, centers]).astype(np.float32)
+    faces = []
+    cb, ct = 2 * n, 2 * n + 1
+    for i in range(n):
+        j = (i + 1) % n
+        faces += [[i, j, n + i], [j, n + j, n + i]]          # side
+        faces += [[cb, j, i], [ct, n + i, n + j]]            # caps
+    return v, np.asarray(faces, np.int32)
+
+
+def sphere_mesh(radius: float, n: int = 12) -> Tuple[np.ndarray, np.ndarray]:
+    us = np.linspace(0, np.pi, n)
+    vs = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    verts = []
+    for u in us:
+        for v_ in vs:
+            verts.append([radius * np.sin(u) * np.cos(v_),
+                          radius * np.sin(u) * np.sin(v_),
+                          radius * np.cos(u)])
+    verts = np.asarray(verts, np.float32)
+    faces = []
+    for i in range(n - 1):
+        for j in range(n):
+            a = i * n + j
+            b = i * n + (j + 1) % n
+            c = (i + 1) * n + j
+            d = (i + 1) * n + (j + 1) % n
+            faces += [[a, b, c], [b, d, c]]
+    return verts, np.asarray(faces, np.int32)
+
+
+def geometry_mesh(g: Geometry) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Mesh for one URDF geometry element, in the LINK frame."""
+    if g.mesh_path is not None:
+        if not os.path.exists(g.mesh_path):
+            return None
+        ext = os.path.splitext(g.mesh_path)[1].lower()
+        if ext != ".obj":
+            return None  # stl/dae need richer loaders; fall back to nothing
+        v, f = load_obj(g.mesh_path)
+        v = v * np.asarray(g.mesh_scale, np.float32)
+    elif g.box_size is not None:
+        v, f = box_mesh(g.box_size)
+    elif g.cylinder is not None:
+        v, f = cylinder_mesh(*g.cylinder)
+    elif g.sphere_radius is not None:
+        v, f = sphere_mesh(g.sphere_radius)
+    else:
+        return None
+    R = g.origin[:3, :3].astype(np.float32)
+    t = g.origin[:3, 3].astype(np.float32)
+    return v @ R.T + t, f
+
+
+@dataclass
+class RobotMesh:
+    """Whole-robot mesh: all link geometries concatenated.
+
+    verts: (V, 3) in each vertex's LINK frame.
+    faces: (F, 3) indices into verts.
+    vert_link: (V,) index into plan.link_names for each vertex.
+    """
+    verts: np.ndarray
+    faces: np.ndarray
+    vert_link: np.ndarray
+
+    @property
+    def num_faces(self) -> int:
+        return len(self.faces)
+
+
+def build_robot_mesh(model: URDFModel, link_index: Dict[str, int],
+                     which: str = "visual") -> RobotMesh:
+    all_v, all_f, all_l = [], [], []
+    offset = 0
+    for name, link in model.links.items():
+        if name not in link_index:
+            continue
+        geoms = link.visuals if which == "visual" else link.collisions
+        for g in geoms:
+            vf = geometry_mesh(g)
+            if vf is None:
+                continue
+            v, f = vf
+            all_v.append(v)
+            all_f.append(f + offset)
+            all_l.append(np.full(len(v), link_index[name], np.int32))
+            offset += len(v)
+    assert all_v, "robot has no renderable geometry"
+    return RobotMesh(verts=np.concatenate(all_v),
+                     faces=np.concatenate(all_f),
+                     vert_link=np.concatenate(all_l))

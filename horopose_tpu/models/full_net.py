@@ -32,7 +32,7 @@ from horopose_tpu.ops.integral import (heatmap_integral_joint,
 from horopose_tpu.ops.rotations import rot6d_to_rotmat, rotmat_to_rot6d
 from horopose_tpu.ops.transforms import uvz_to_xyz_singlepoint
 
-_RESNETS = ("resnet", "resnet34", "resnet50", "resnet101")
+_RESNETS = ("resnet", "resnet18", "resnet34", "resnet50", "resnet101")
 _HRNETS = ("hrnet", "hrnet32")
 
 
@@ -60,6 +60,7 @@ class FullNet(nn.Module):
     kps_need_depth: Optional[Sequence[int]] = None
     init_pose: Tuple[float, ...] = ()        # (dof,) initial joint angles
     init_rot: Tuple[float, ...] = (1, 0, 0, 0, 1, 0)  # identity rot6d
+    use_pallas_integral: Optional[bool] = None  # None -> auto (TPU only)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -142,12 +143,17 @@ class FullNet(nn.Module):
 
         # NHWC heatmap -> (B, K, D, H, W) ordering expected by the decoder
         hm_nchw = jnp.transpose(hm, (0, 3, 1, 2))
+        use_pallas = self.use_pallas_integral
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() == "tpu"
         pred_uvd, pred_xyz_int = heatmap_integral_pose(
             hm_nchw, num_joints=self.num_keypoints, depth_dim=self.depth_dim,
             height_dim=heatmap_size, width_dim=heatmap_size,
             image_size=float(self.image_size), bbox_3d_shape=self.bbox_3d_shape,
             K=K, root_trans=root_trans_from_rootnet,
-            rootid=self.reference_keypoint_id, fixroot=self.fix_root)
+            rootid=self.reference_keypoint_id, fixroot=self.fix_root,
+            use_pallas=use_pallas)
         pred_root_uv = (pred_uvd[:, self.reference_keypoint_id, :2] + 0.5) \
             * self.image_size
 

@@ -1,0 +1,154 @@
+"""Differentiable soft silhouette rasterizer, TPU-native.
+
+Replaces pytorch3d's SoftSilhouetteShader pipeline
+(/root/reference/lib/utils/mesh_renderer.py:94-109: sigma=gamma=1e-8,
+faces_per_pixel=100; only the alpha channel is consumed,
+urdf_robot.py:257). The reference rasterizes ONE image at a time
+(train_sim2real.py:413-416); here the whole batch renders in one fused
+program.
+
+Algorithm (soft rasterization, Liu et al. 2019 style):
+  For every (pixel, face) pair: signed 2D distance d to the projected
+  triangle (negative inside). Face coverage D = sigmoid(-sign(d) d^2 /
+  sigma). Silhouette alpha = 1 - prod_f (1 - D_f), computed in log space:
+  log(1 - D) = -softplus(-sign(d) d^2 / sigma), so
+  alpha = 1 - exp(sum_f log(1 - D_f)) — numerically stable and fully
+  differentiable to the vertices.
+
+TPU mapping: pixels are processed in chunks via lax.map (dense
+(chunk x faces) distance tiles live in VMEM-sized working sets and hit the
+VPU); faces behind the camera are masked. No topology-dependent control
+flow — everything is static-shape.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def _edge_distance_sq(p, a, b):
+    """Squared distance from points p (..., 2) to segment ab."""
+    ab = b - a
+    ap = p - a
+    t = jnp.clip(jnp.sum(ap * ab, -1) /
+                 jnp.maximum(jnp.sum(ab * ab, -1), 1e-12), 0.0, 1.0)
+    closest = a + t[..., None] * ab
+    d = p - closest
+    return jnp.sum(d * d, -1)
+
+
+def _signed_dist_sq(pix, v0, v1, v2):
+    """Signed squared distance of pixels to triangles.
+
+    pix (P, 1, 2); v0/v1/v2 (1, F, 2). Returns (P, F): negative inside.
+    """
+    def edge_fn(a, b, p):
+        return (b[..., 0] - a[..., 0]) * (p[..., 1] - a[..., 1]) - \
+               (b[..., 1] - a[..., 1]) * (p[..., 0] - a[..., 0])
+
+    e0 = edge_fn(v0, v1, pix)
+    e1 = edge_fn(v1, v2, pix)
+    e2 = edge_fn(v2, v0, pix)
+    # inside iff all edge functions share the triangle's orientation sign;
+    # zero-area (degenerate) triangles can never contain a pixel
+    area = edge_fn(v0, v1, v2)
+    s = jnp.sign(area)
+    inside = (e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0) & \
+        (jnp.abs(area) > 1e-9)
+    d2 = jnp.minimum(jnp.minimum(
+        _edge_distance_sq(pix, v0, v1),
+        _edge_distance_sq(pix, v1, v2)),
+        _edge_distance_sq(pix, v2, v0))
+    return jnp.where(inside, -d2, d2)
+
+
+def rasterize_silhouette(verts: jnp.ndarray, faces, K: jnp.ndarray,
+                         image_hw, sigma: float = 1.0,
+                         pixel_chunk: int = 2048) -> jnp.ndarray:
+    """Soft silhouette.
+
+    verts (B, V, 3) camera-frame vertices; faces (F, 3) static int array;
+    K (B, 3, 3) or (3, 3); image_hw (H, W). sigma in pixel^2 units.
+    Returns alpha (B, H, W) in [0, 1].
+    """
+    H, W = image_hw
+    B = verts.shape[0]
+    faces = jnp.asarray(faces)
+    if K.ndim == 2:
+        K = jnp.broadcast_to(K, (B, 3, 3))
+    proj = jnp.einsum("bij,bvj->bvi", K, verts)
+    z = proj[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    uv = proj[..., :2] / safe_z[..., None]
+
+    tri_uv = uv[:, faces]                     # (B, F, 3, 2)
+    tri_z = z[:, faces]                       # (B, F, 3)
+    valid = jnp.all(tri_z > 1e-4, axis=-1)    # (B, F) in front of camera
+
+    ys = jnp.arange(H, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(W, dtype=jnp.float32) + 0.5
+    grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (H,W,2)
+    pixels = grid.reshape(-1, 2)              # (P, 2)
+    P = pixels.shape[0]
+    n_chunks = -(-P // pixel_chunk)
+    pad = n_chunks * pixel_chunk - P
+    pixels = jnp.concatenate(
+        [pixels, jnp.zeros((pad, 2), jnp.float32)], axis=0)
+    pixel_chunks = pixels.reshape(n_chunks, pixel_chunk, 2)
+
+    inv_sigma = 1.0 / sigma
+
+    def render_one(tri_uv_b, valid_b):
+        v0 = tri_uv_b[None, :, 0]
+        v1 = tri_uv_b[None, :, 1]
+        v2 = tri_uv_b[None, :, 2]
+
+        def chunk_fn(pix):
+            sd2 = _signed_dist_sq(pix[:, None, :], v0, v1, v2)  # (C, F)
+            logits = -sd2 * inv_sigma
+            # log(1 - sigmoid(logits)) = -softplus(logits)
+            log_one_minus = -jax.nn.softplus(logits)
+            log_one_minus = jnp.where(valid_b[None, :], log_one_minus, 0.0)
+            return 1.0 - jnp.exp(jnp.sum(log_one_minus, axis=-1))   # (C,)
+
+        alpha = jax.lax.map(chunk_fn, pixel_chunks)     # (n_chunks, C)
+        return alpha.reshape(-1)[:P].reshape(H, W)
+
+    return jax.vmap(render_one)(tri_uv, valid)
+
+
+def render_robot_silhouette(robot, robot_mesh, cfg: jnp.ndarray,
+                            rot: jnp.ndarray, trans: jnp.ndarray,
+                            K: jnp.ndarray, image_hw,
+                            root: int = 0, sigma: float = 1.0,
+                            detach_joints: bool = True) -> jnp.ndarray:
+    """Batched robot silhouette for the sim2real mask loss.
+
+    Mirrors get_rendered_mask_single_image_at_specific_root
+    (urdf_robot.py:259-275): (rot, trans) place keypoint-link `root` in the
+    camera; FK poses the link meshes; joints are detached from the mask
+    gradient (TWL_base .detach() at urdf_robot.py:270) so the mask loss
+    drives only the root pose — unless detach_joints=False.
+    """
+    from horopose_tpu.ops.rotations import make_T, rot_to_rotmat, invert_T
+
+    link_poses = robot.plan.link_poses(cfg)           # (B, L, 4, 4)
+    if detach_joints:
+        link_poses = jax.lax.stop_gradient(link_poses)
+    root2cam = make_T(rot_to_rotmat(rot), trans)      # (B, 4, 4)
+    if root != 0:
+        root_pose = link_poses[:, robot._kp_link_idx[root]]
+        base2cam = root2cam @ invert_T(root_pose)
+    else:
+        base2cam = root2cam
+    world = jnp.einsum("bij,bljk->blik", base2cam, link_poses)  # (B,L,4,4)
+    vl = jnp.asarray(robot_mesh.vert_link)
+    Rv = world[:, vl, :3, :3]                         # (B, V, 3, 3)
+    tv = world[..., :3, 3][:, vl]                     # (B, V, 3)
+    v_local = jnp.asarray(robot_mesh.verts)
+    v_cam = jnp.einsum("bvij,vj->bvi", Rv, v_local) + tv
+    return rasterize_silhouette(v_cam, robot_mesh.faces, K, image_hw,
+                                sigma=sigma)

@@ -45,7 +45,9 @@ def project_points(K: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
     Matches point_projection_from_3d (transforms.py:11-21): p = hnorm(K @ X).
     """
     proj = jnp.einsum("...ij,...nj->...ni", K, points)
-    return proj[..., :2] / proj[..., 2:3]
+    z = proj[..., 2:3]
+    z = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)  # guard degenerate depth
+    return proj[..., :2] / z
 
 
 def uvd_to_xyz(uvd: jnp.ndarray, image_size: float, K_inv: jnp.ndarray,
