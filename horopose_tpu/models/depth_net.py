@@ -15,6 +15,7 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+from horopose_tpu.models.common import batch_norm
 from horopose_tpu.models.hrnet import get_hrnet
 from horopose_tpu.models.resnet import get_resnet
 
@@ -50,8 +51,7 @@ class RootNet(nn.Module):
                 y = nn.ConvTranspose(256, (4, 4), (2, 2), padding="SAME",
                                      use_bias=False, dtype=self.dtype,
                                      name=f"deconv{i}")(y)
-                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 dtype=self.dtype, name=f"deconv{i}_bn")(y)
+                y = batch_norm(train, dtype=self.dtype, name=f"deconv{i}_bn")(y)
                 y = nn.relu(y)
             hm = nn.Conv(1, (1, 1), dtype=self.dtype, name="xy_layer")(y)
             B, H, W, _ = hm.shape
@@ -63,17 +63,13 @@ class RootNet(nn.Module):
             coord_xy = jnp.stack([coord_x, coord_y], axis=-1)
 
         if self.add_fc:
-            f1 = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                      name="fc1_bn")(
+            f1 = nn.relu(batch_norm(train, name="fc1_bn")(
                 nn.Dense(inplanes // 2, name="fc1")(img_feat)))
-            f2 = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                      name="fc2_bn")(
+            f2 = nn.relu(batch_norm(train, name="fc2_bn")(
                 nn.Dense(inplanes // 4, name="fc2")(f1)))
-            f3 = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                      name="fc3_bn")(
+            f3 = nn.relu(batch_norm(train, name="fc3_bn")(
                 nn.Dense(inplanes // 4, name="fc3")(f2)))
-            f4 = nn.relu(nn.BatchNorm(use_running_average=not train,
-                                      name="fc4_bn")(
+            f4 = nn.relu(batch_norm(train, name="fc4_bn")(
                 nn.Dense(inplanes // 2, name="fc4")(f3)))
             f5 = nn.Dense(inplanes, name="fc5")(f4)
             img_feat = img_feat + f5

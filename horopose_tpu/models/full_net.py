@@ -25,6 +25,7 @@ from typing import Any, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from horopose_tpu.models.common import batch_norm
 from horopose_tpu.models.hrnet import get_hrnet
 from horopose_tpu.models.resnet import get_resnet
 from horopose_tpu.ops.integral import (heatmap_integral_joint,
@@ -91,8 +92,7 @@ class FullNet(nn.Module):
         if self.add_fc:
             f1 = nn.Dense(1024, name="depth_fc_d1")(img_feat)
             f2 = nn.Dense(512, name="depth_fc_d2")(f1)
-            fmid = nn.leaky_relu(nn.BatchNorm(
-                use_running_average=not train, name="depth_bn")(f2))
+            fmid = nn.leaky_relu(batch_norm(train, name="depth_bn")(f2))
             f3 = nn.Dense(1024, name="depth_fc_u2")(fmid)
             f3 = 0.5 * (f3 + f1)
             f4 = nn.Dense(inplanes, name="depth_fc_u1")(f3)
@@ -124,8 +124,7 @@ class FullNet(nn.Module):
                 y = nn.ConvTranspose(256, (4, 4), (2, 2), padding="SAME",
                                      use_bias=False, dtype=self.dtype,
                                      name=f"deconv{i}")(y)
-                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 dtype=self.dtype, name=f"deconv{i}_bn")(y)
+                y = batch_norm(train, dtype=self.dtype, name=f"deconv{i}_bn")(y)
                 y = nn.relu(y)
             hm = nn.Conv(self.num_keypoints * self.depth_dim, (1, 1),
                          kernel_init=nn.initializers.normal(
@@ -170,8 +169,8 @@ class FullNet(nn.Module):
             for i, ch in enumerate(self.joint_conv_dim):
                 y = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
                             name=f"joint_conv{i}")(y)
-                y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 dtype=self.dtype, name=f"joint_conv{i}_bn")(y)
+                y = batch_norm(train, dtype=self.dtype,
+                               name=f"joint_conv{i}_bn")(y)
                 y = nn.relu(y)
             jm = nn.Conv(self.dof, (1, 1), dtype=self.dtype,
                          name="joint_final_layer")(y)

@@ -19,6 +19,7 @@ from typing import Any, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from horopose_tpu.models.common import batch_norm
 from horopose_tpu.models.resnet import BasicBlock, Bottleneck
 
 
@@ -35,8 +36,7 @@ class FuseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, dtype=self.dtype)
+        norm = lambda: batch_norm(train, dtype=self.dtype)
         outs = []
         for i in range(self.out_branches):
             acc = None
@@ -93,8 +93,7 @@ class TransitionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, dtype=self.dtype)
+        norm = lambda: batch_norm(train, dtype=self.dtype)
         outs = []
         for i, ch in enumerate(self.new_channels):
             if i < len(self.prev_channels):
@@ -137,9 +136,8 @@ class HRNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         w = self.width
-        norm = lambda name=None: nn.BatchNorm(use_running_average=not train,
-                                              momentum=0.9, dtype=self.dtype,
-                                              name=name)
+        norm = lambda name=None: batch_norm(train, dtype=self.dtype,
+                                            name=name)
         # stem (1/4 resolution)
         x = nn.Conv(64, (3, 3), (2, 2), padding=1, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)

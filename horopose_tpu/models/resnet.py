@@ -16,6 +16,8 @@ from typing import Any, Callable, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from horopose_tpu.models.common import batch_norm
+
 ModuleDef = Any
 
 RESNET_SPECS = {
@@ -37,8 +39,7 @@ class BasicBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, dtype=self.dtype)
+        norm = lambda: batch_norm(train, dtype=self.dtype)
         residual = x
         y = nn.Conv(self.filters, (3, 3), (self.strides, self.strides),
                     padding=1, use_bias=False, dtype=self.dtype)(x)
@@ -63,8 +64,7 @@ class Bottleneck(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        norm = lambda: nn.BatchNorm(use_running_average=not train,
-                                    momentum=0.9, dtype=self.dtype)
+        norm = lambda: batch_norm(train, dtype=self.dtype)
         residual = x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = norm()(y)
@@ -103,8 +103,7 @@ class ResNet(nn.Module):
         block_cls: Callable = Bottleneck if self.block == "bottleneck" else BasicBlock
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         dtype=self.dtype, name="bn1")(x)
+        x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         for stage, num_blocks in enumerate(self.stage_sizes):

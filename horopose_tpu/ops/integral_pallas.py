@@ -23,26 +23,34 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _fwd_kernel(x_ref, uvd_ref, ex_ref):
-    """x_ref: (1, D, H, W) logits; uvd_ref: (1, 3) coords in [-0.5, 0.5];
-    ex_ref: (1, 3) raw expectations (saved for backward)."""
+    """x_ref: (1, D, H, W) logits; uvd_ref / ex_ref: (1, 8, 128) tile-padded
+    outputs (coords at [0, 0, 0..2]; 8x128 tile for TPU alignment)."""
     x = x_ref[0].astype(jnp.float32)              # (D, H, W)
     D, H, W = x.shape
     m = jnp.max(x)
     e = jnp.exp(x - m)
     s = jnp.sum(e)
     inv_s = 1.0 / s
-    idx_w = jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 2)
-    idx_h = jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 1)
-    idx_d = jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)
+    idx_w = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2
+                                     ).astype(jnp.float32)
+    idx_h = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1
+                                     ).astype(jnp.float32)
+    idx_d = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0
+                                     ).astype(jnp.float32)
     ex = jnp.sum(e * idx_w) * inv_s
     ey = jnp.sum(e * idx_h) * inv_s
     ez = jnp.sum(e * idx_d) * inv_s
-    ex_ref[0, 0] = ex
-    ex_ref[0, 1] = ey
-    ex_ref[0, 2] = ez
-    uvd_ref[0, 0] = ex / W - 0.5
-    uvd_ref[0, 1] = ey / H - 0.5
-    uvd_ref[0, 2] = ez / D - 0.5
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    on_row = sub == 0
+    ex_ref[...] = jnp.where(on_row & (lane == 0), ex,
+                            jnp.where(on_row & (lane == 1), ey,
+                                      jnp.where(on_row & (lane == 2), ez,
+                                                0.0)))
+    uvd_ref[...] = jnp.where(
+        on_row & (lane == 0), ex / W - 0.5,
+        jnp.where(on_row & (lane == 1), ey / H - 0.5,
+                  jnp.where(on_row & (lane == 2), ez / D - 0.5, 0.0)))
 
 
 def _bwd_kernel(x_ref, ex_ref, g_ref, dx_ref):
@@ -52,15 +60,18 @@ def _bwd_kernel(x_ref, ex_ref, g_ref, dx_ref):
     m = jnp.max(x)
     e = jnp.exp(x - m)
     p = e / jnp.sum(e)
-    idx_w = jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 2)
-    idx_h = jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 1)
-    idx_d = jax.lax.broadcasted_iota(jnp.float32, (D, H, W), 0)
-    gx = g_ref[0, 0] / W
-    gy = g_ref[0, 1] / H
-    gz = g_ref[0, 2] / D
-    ex = ex_ref[0, 0]
-    ey = ex_ref[0, 1]
-    ez = ex_ref[0, 2]
+    idx_w = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 2
+                                     ).astype(jnp.float32)
+    idx_h = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 1
+                                     ).astype(jnp.float32)
+    idx_d = jax.lax.broadcasted_iota(jnp.int32, (D, H, W), 0
+                                     ).astype(jnp.float32)
+    gx = g_ref[0, 0, 0] / W
+    gy = g_ref[0, 0, 1] / H
+    gz = g_ref[0, 0, 2] / D
+    ex = ex_ref[0, 0, 0]
+    ey = ex_ref[0, 0, 1]
+    ez = ex_ref[0, 0, 2]  # (1, 8, 128) tile-padded refs; [0,0,0..2] live
     dx = p * (gx * (idx_w - ex) + gy * (idx_h - ey) + gz * (idx_d - ez))
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
@@ -73,30 +84,38 @@ def _run_fwd(x5: jnp.ndarray):
         in_specs=[pl.BlockSpec((1, D, H, W), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, 3), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((BK, 3), jnp.float32),
-            jax.ShapeDtypeStruct((BK, 3), jnp.float32),
+            jax.ShapeDtypeStruct((BK, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((BK, 8, 128), jnp.float32),
         ),
         interpret=jax.default_backend() != "tpu",
     )(x5)
-    return uvd, ex
+    return uvd[:, 0, :3], ex[:, 0, :3]
 
 
 def _run_bwd(x5: jnp.ndarray, ex: jnp.ndarray, g: jnp.ndarray):
     BK, D, H, W = x5.shape
+    BKn = x5.shape[0]
+    def tile_pad(a):
+        out = jnp.zeros((BKn, 8, 128), jnp.float32)
+        return out.at[:, 0, :3].set(a)
+    ex = tile_pad(ex)
+    g = tile_pad(g)
     return pl.pallas_call(
         _bwd_kernel,
         grid=(BK,),
         in_specs=[
             pl.BlockSpec((1, D, H, W), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, D, H, W), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),

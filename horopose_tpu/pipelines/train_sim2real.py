@@ -1,0 +1,211 @@
+"""Stage-3 self-supervised sim-to-real fine-tuning.
+
+Parity target: /root/reference/scripts/train_sim2real.py:30-726 — fine-tune
+the synth-pretrained FullNet on a real Panda camera set with NO pose labels:
+the training signal is the agreement between the differentiable silhouette
+render of the predicted pose and a frozen segmentation teacher's mask, plus
+an FK<->integral 3D alignment term. Specifics mirrored:
+  - losses: mask (mse_mean / bce / 0.001*mse_sum), soft IoU, filtered
+    log-scale-ratio (train_sim2real.py:435-468),
+  - BatchNorm FROZEN during training (train_sim2real.py:144-148) via the
+    frozen_batchnorm trace context,
+  - joints detached in the render (urdf_robot.py:270),
+  - renders at 0.5 scale (320x240) with scaled K (urdf_robot.py:201-227),
+  - best-AUC checkpoint for the matching real set with the epoch guard.
+
+TPU-native: the reference rebuilds the renderer and per-sample meshes every
+batch and rasterizes one image at a time (train_sim2real.py:406-416); here
+the whole batch is posed by one FK and rasterized in one fused program, and
+the seg teacher runs under the same jit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from horopose_tpu import constants as C
+from horopose_tpu.core.checkpoint import (BestCheckpointKeeper,
+                                          load_checkpoint_file, restore_state)
+from horopose_tpu.core.engine import (TrainState, build_full_eval_step,
+                                      create_train_state, make_optimizer,
+                                      prepare_gt, _forward)
+from horopose_tpu.core.loggers import AverageMeter, create_logger
+from horopose_tpu.core import losses as L
+from horopose_tpu.models.common import frozen_batchnorm
+from horopose_tpu.models.deeplab import SegTeacher
+from horopose_tpu.kinematics.meshes import build_robot_mesh
+from horopose_tpu.ops.rasterizer import render_robot_silhouette
+from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
+                                           make_robot, set_seed)
+from horopose_tpu.pipelines.train_full import validate_full
+
+
+def load_seg_teacher(cfg, image_hw=(480, 640)) -> SegTeacher:
+    """CtRNet per-camera weights when available (converted via
+    tools/torch_weights.py), else random init with a loud warning —
+    the pipeline stays runnable end-to-end either way."""
+    ds = cfg.train_ds_names
+    camera = next((c for c in ("azure", "kinect", "realsense", "orb")
+                   if c in ds), "azure")
+    path = os.path.join("models", "panda_segmentation", f"{camera}.msgpack")
+    teacher = SegTeacher.init_random(jax.random.PRNGKey(0),
+                                     image_hw=image_hw)
+    if os.path.exists(path):
+        from flax import serialization
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        teacher.variables = serialization.from_state_dict(
+            teacher.variables, payload)
+        print(f"[sim2real] loaded segmentation teacher: {path}")
+    else:
+        print(f"[sim2real] WARNING: no converted teacher weights at {path}; "
+              "using random teacher (masks are meaningless until you run "
+              "tools/torch_weights.py on the CtRNet .pth files)")
+    return teacher
+
+
+def build_sim2real_train_step(cfg, model, robot, robot_mesh, seg_teacher, tx,
+                              image_hw=(480, 640)):
+    # render at the teacher's output resolution (reference: 0.5 scale,
+    # 320x240, urdf_robot.py:201-204)
+    out_hw = seg_teacher.out_hw
+    render_scale = out_hw[0] / float(image_hw[0])
+    ref = int(cfg.reference_keypoint_id)
+
+    def _step(state: TrainState, batch, rng):
+        gts = prepare_gt(cfg, robot, batch)
+
+        seg_masks = jax.lax.stop_gradient(
+            seg_teacher(batch["images_original"]))         # (B, h, w)
+
+        def loss_fn(params):
+            preds, new_bs, _ = _forward(cfg, model, robot, params,
+                                        state.batch_stats, batch, gts,
+                                        train=True, dropout_rng=rng)
+            K_render = batch["K_original"].astype(jnp.float32) * render_scale
+            K_render = K_render.at[:, 2, 2].set(1.0)
+            pose_for_mesh = gts["gt_pose"] if cfg.known_joint else \
+                preds["pose"]
+            rendered = render_robot_silhouette(
+                robot, robot_mesh, pose_for_mesh, preds["rot"],
+                preds["trans"], K_render, out_hw, root=ref, sigma=1.0)
+
+            if cfg.mask_loss_func == "mse_mean":
+                loss_mask = jnp.mean((rendered - seg_masks) ** 2)
+            elif cfg.mask_loss_func == "bce":
+                eps = 1e-6
+                r = jnp.clip(rendered, eps, 1 - eps)
+                loss_mask = -jnp.mean(seg_masks * jnp.log(r) +
+                                      (1 - seg_masks) * jnp.log(1 - r))
+            elif cfg.mask_loss_func == "mse_sum":
+                loss_mask = 0.001 * jnp.sum((rendered - seg_masks) ** 2)
+            else:
+                raise NotImplementedError(cfg.mask_loss_func)
+
+            inter = jnp.sum(seg_masks * rendered, axis=(1, 2))
+            seg_area = jnp.sum(seg_masks, axis=(1, 2))
+            render_area = jnp.sum(rendered, axis=(1, 2))
+            union = seg_area + render_area - inter
+            loss_iou = 1.0 - jnp.mean(inter / jnp.maximum(union, 1e-9))
+
+            seg_only = seg_area - inter
+            render_only = render_area - inter
+            scale_ratio = seg_only / jnp.maximum(render_only, 1e-9)
+            sr = jax.lax.stop_gradient(scale_ratio)
+            ratio_filter = ((sr > 5.0) | (sr < 0.2)).astype(jnp.float32)
+            loss_scale = jnp.sum(
+                jnp.abs(jnp.log(jnp.maximum(scale_ratio, 1e-9))) *
+                ratio_filter) / (jnp.sum(ratio_filter) + 1e-9)
+
+            align_err = jnp.linalg.norm(
+                preds["xyz_fk"] - preds["xyz_int"], axis=2)
+            loss_align = jnp.mean(align_err)
+
+            loss = (cfg.mask_loss_weight * loss_mask +
+                    cfg.iou_loss_weight * loss_iou +
+                    cfg.scale_loss_weight * loss_scale +
+                    cfg.align_3d_loss_weight * loss_align)
+            loss_dict = dict(loss_mask=loss_mask, loss_iou=loss_iou,
+                             loss_scale=loss_scale,
+                             loss_error3d_align=loss_align)
+            return loss, (loss_dict, new_bs)
+
+        (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  batch_stats=new_bs, opt_state=new_opt)
+        return new_state, dict(loss=loss, **loss_dict)
+
+    # BN frozen is baked in at trace time (first call compiles)
+    with frozen_batchnorm():
+        return jax.jit(_step)
+
+
+def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
+                   seg_teacher=None):
+    set_seed()
+    save_folder, ckpt_folder, _, writer = create_logger(cfg)
+    robot = make_robot(cfg)
+    robot_mesh = build_robot_mesh(
+        robot.model, {n: i for i, n in enumerate(robot.plan.link_names)})
+
+    # real-set loaders need the original full image for the teacher
+    cfg_loaders = get_dataloaders(cfg)
+    train_loader = cfg_loaders["train"]
+    train_loader.dataset.return_original_image = True
+    steps_per_epoch = max(len(train_loader), 1)
+
+    model = build_fullnet(cfg)
+    tx = make_optimizer(cfg, steps_per_epoch)
+    from horopose_tpu.pipelines.train_full import init_fullnet_state
+    state, rng = init_fullnet_state(cfg, model, tx)
+
+    if cfg.pretrained_weight_on_synth:
+        payload = load_checkpoint_file(cfg.pretrained_weight_on_synth)
+        state = restore_state(state, payload)
+        print(f"[sim2real] loaded synth-pretrained weights from "
+              f"{cfg.pretrained_weight_on_synth}")
+
+    if seg_teacher is None:
+        seg_teacher = load_seg_teacher(cfg)
+
+    keeper = BestCheckpointKeeper(ckpt_folder, cfg.urdf_robot_name)
+    train_step = build_sim2real_train_step(cfg, model, robot, robot_mesh,
+                                           seg_teacher, tx)
+    eval_step = build_full_eval_step(cfg, model, robot)
+
+    n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
+    for epoch in range(n_epochs):
+        meters = {t: AverageMeter() for t in
+                  ("loss", "loss_mask", "loss_iou", "loss_scale",
+                   "loss_error3d_align")}
+        for batchid, batch in enumerate(train_loader):
+            if max_steps_per_epoch and batchid >= max_steps_per_epoch:
+                break
+            rng, step_rng = jax.random.split(rng)
+            state, logs = train_step(state, batch, step_rng)
+            for t in meters:
+                meters[t].add(float(logs[t]))
+            if (batchid + 1) % 10 == 0:
+                gstep = epoch * steps_per_epoch + batchid + 1
+                for t in meters:
+                    writer.add_scalar(f"Train/{t}", meters[t].mean, gstep)
+        for t in meters:  # end-of-epoch flush
+            writer.add_scalar(f"Train/{t}", meters[t].mean,
+                              (epoch + 1) * steps_per_epoch)
+        auc_adds = {}
+        for name, loader in cfg_loaders["test"].items():
+            auc_adds[name] = validate_full(cfg, robot, eval_step, state,
+                                           loader, writer, epoch, name)
+        keeper.maybe_save(auc_adds, state, epoch)
+        print(f"[sim2real] epoch {epoch}: loss={meters['loss'].mean:.4f} "
+              f"mask={meters['loss_mask'].mean:.4f} auc={auc_adds}")
+    writer.close()
+    return state
