@@ -176,6 +176,9 @@ def make_default_cfg() -> AttrDict:
     # TPU-native extensions (defaults keep reference behavior)
     cfg.mesh_shape = None          # e.g. [8] for 8-way data parallelism
     cfg.compute_dtype = "float32"  # or "bfloat16" for backbone compute
+    cfg.debug_nans = False         # jax NaN tripwire (reference keeps torch
+    #                                anomaly detection always-on)
+    cfg.profile_dir = None         # write an XLA profiler trace here
     return cfg
 
 

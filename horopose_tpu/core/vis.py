@@ -1,0 +1,151 @@
+"""Visualization: 2D keypoint overlays, 3D skeletons, ADD curves.
+
+Parity target: /root/reference/lib/utils/vis.py:40-456 (vis_joints_3d grid
+figures with image + 2D overlays + rotating 3D skeleton views,
+vis_3dkp_single_view) and lib/utils/metrics.py:165-213 (draw_add_curve).
+matplotlib only (no cv2/pyrender dependency); every function degrades to a
+no-op with a warning when matplotlib is unavailable so headless training
+never crashes.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def _plt():
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        return plt
+    except Exception as e:  # pragma: no cover
+        print(f"[vis] matplotlib unavailable: {e}")
+        return None
+
+
+# skeleton edges = consecutive keypoints (the DREAM keypoint chains)
+def _edges(num_keypoints: int):
+    return [(i, i + 1) for i in range(num_keypoints - 1)]
+
+
+def overlay_keypoints_2d(ax, image: np.ndarray, kp2d: np.ndarray,
+                         color="lime", gt_kp2d: Optional[np.ndarray] = None):
+    ax.imshow(image.astype(np.uint8))
+    ax.scatter(kp2d[:, 0], kp2d[:, 1], c=color, s=12)
+    for a, b in _edges(len(kp2d)):
+        ax.plot(kp2d[[a, b], 0], kp2d[[a, b], 1], c=color, lw=1)
+    if gt_kp2d is not None:
+        ax.scatter(gt_kp2d[:, 0], gt_kp2d[:, 1], c="red", s=12, marker="x")
+    ax.axis("off")
+
+
+def skeleton_3d(ax, kp3d: np.ndarray, color="tab:blue", label=None):
+    ax.scatter(kp3d[:, 0], kp3d[:, 1], kp3d[:, 2], c=color, s=14,
+               label=label)
+    for a, b in _edges(len(kp3d)):
+        ax.plot(kp3d[[a, b], 0], kp3d[[a, b], 1], kp3d[[a, b], 2], c=color)
+
+
+def vis_joints_3d(images: np.ndarray, pred_kp3d: np.ndarray,
+                  gt_kp3d: np.ndarray, pred_kp2d: np.ndarray,
+                  gt_kp2d: np.ndarray, save_path: str,
+                  n_samples: int = 4, views=(0, 60, 120, 240)):
+    """Grid figure: image + 2D overlay + rotating 3D skeleton views per
+    sample (vis.py:40-368)."""
+    plt = _plt()
+    if plt is None:
+        return
+    n = min(n_samples, len(images))
+    cols = 1 + len(views)
+    fig = plt.figure(figsize=(4 * cols, 4 * n))
+    for i in range(n):
+        ax = fig.add_subplot(n, cols, i * cols + 1)
+        overlay_keypoints_2d(ax, images[i], pred_kp2d[i], gt_kp2d=gt_kp2d[i])
+        ax.set_title(f"sample {i}: pred(circle) vs gt(x)")
+        for v, azim in enumerate(views):
+            ax3 = fig.add_subplot(n, cols, i * cols + 2 + v,
+                                  projection="3d")
+            skeleton_3d(ax3, pred_kp3d[i], color="tab:blue", label="pred")
+            skeleton_3d(ax3, gt_kp3d[i], color="tab:red", label="gt")
+            ax3.view_init(elev=15, azim=azim)
+            if v == 0:
+                ax3.legend(loc="upper right", fontsize=7)
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=80)
+    plt.close(fig)
+
+
+def vis_3dkp_single_view(pred_kp3d: np.ndarray, gt_kp3d: np.ndarray,
+                         save_path: str, azim: float = 45.0):
+    """Single 3D comparison view (vis.py:405)."""
+    plt = _plt()
+    if plt is None:
+        return
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_subplot(111, projection="3d")
+    skeleton_3d(ax, pred_kp3d, color="tab:blue", label="pred")
+    skeleton_3d(ax, gt_kp3d, color="tab:red", label="gt")
+    ax.view_init(elev=15, azim=azim)
+    ax.legend()
+    os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+    fig.savefig(save_path, dpi=100)
+    plt.close(fig)
+
+
+def save_silhouette_comparison(rendered: np.ndarray, target: np.ndarray,
+                               save_path: str):
+    """Red/blue channel stack of rendered vs teacher masks (the sim2real
+    debugging view, train_sim2real.py:419-429)."""
+    h, w = rendered.shape
+    stack = np.zeros((h, w, 3), np.uint8)
+    stack[..., 0] = np.clip(rendered * 255, 0, 255).astype(np.uint8)
+    stack[..., 2] = np.clip(target * 255, 0, 255).astype(np.uint8)
+    try:
+        from PIL import Image
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+        Image.fromarray(stack).save(save_path)
+    except Exception as e:  # pragma: no cover
+        print(f"[vis] PIL unavailable: {e}")
+
+
+def draw_add_curve(alldis: dict, result_path: str, test_ds_name: str,
+                   auc: float):
+    """ADD threshold-sweep curve + distance histograms
+    (metrics.py:165-213)."""
+    plt = _plt()
+    if plt is None:
+        return
+    dis3d = np.asarray(alldis["dis3d"])
+    thresholds = np.arange(0.0, 0.1, 1e-5)
+    s = np.sort(dis3d)
+    counts = np.searchsorted(s, thresholds, side="right") / max(len(s), 1)
+    fig, axes = plt.subplots(2, 2, figsize=(14, 10))
+    ax = axes[0, 0]
+    ax.plot(thresholds, counts)
+    ax.set_xlim(0, 0.1)
+    ax.set_ylim(0, 1)
+    ax.grid(True)
+    ax.set_xlabel("ADD threshold (m)")
+    ax.set_ylabel("fraction under threshold")
+    ax.axvline(float(np.mean(dis3d)), color="red", ls="--", label="mean")
+    ax.axvline(float(np.median(dis3d)), color="green", ls="--",
+               label="median")
+    ax.set_title(f"ADD curve (AUC={auc * 100:.2f})")
+    ax.legend()
+    for ax, lim in ((axes[0, 1], None), (axes[1, 0], 0.5), (axes[1, 1], 0.1)):
+        ax.hist(dis3d, bins=60, range=(0, lim) if lim else None)
+        if lim:
+            ax.set_xlim(0, lim)
+        ax.set_title(f"3D distance distribution"
+                     f"{f' 0-{lim}m' if lim else ''}")
+    name = os.path.basename(str(test_ds_name))
+    os.makedirs(result_path, exist_ok=True)
+    fig.tight_layout()
+    fig.savefig(os.path.join(result_path,
+                             f"add_distribution_curve_{name}.jpg"))
+    plt.close(fig)

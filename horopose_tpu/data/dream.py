@@ -87,6 +87,8 @@ class DreamDataset:
                  occlu_p=0.5,
                  extend_ratio=(0.2, 0.13),
                  flip=False,
+                 process_truncation=False,
+                 truncation_padding=(120, 120, 120, 120),
                  return_original_image=False):
         self.base_dir = Path(base_dir)
         self.ds_name = os.path.basename(str(base_dir))
@@ -99,6 +101,8 @@ class DreamDataset:
         self.occlu_p = occlu_p
         self.extend_ratio = list(extend_ratio)
         self.flip = flip
+        self.process_truncation = process_truncation
+        self.truncation_padding = list(truncation_padding)
         self.return_original_image = return_original_image
 
         self.frame_index = build_frame_index(self.base_dir)
@@ -133,7 +137,7 @@ class DreamDataset:
 
     # ------------------------------------------------------------------
     def _make_crop(self, rgb, bbox, K_original, keypoints_3d,
-                   bbox_strict_bounded_original, resize_hw):
+                   bbox_strict_bounded_original, resize_hw, flip=False):
         """Square-pad crop -> resize -> K update -> reprojected keypoints.
         Mirrors _get_rootnet_data/_get_other_data (dream.py:281-388)."""
         kp2d_dummy = np.zeros((len(keypoints_3d), 2), np.float64)
@@ -141,6 +145,12 @@ class DreamDataset:
                                           K_original.copy())
         crop, K_new, kp2d = crop_resize_to_aspect(square, K_sq, keypoints_3d,
                                                   resize=resize_hw)
+        if flip and random.random() <= 0.5:
+            from horopose_tpu.data.augmentations import \
+                flip_image_and_annotations
+            pairs = C.FLIP_PAIRS if self.label == "baxter" else None
+            crop, kp2d, K_new = flip_image_and_annotations(crop, kp2d,
+                                                           K_new, pairs)
         K_original_inv = np.linalg.inv(K_original)
         bsb = RU.bbox_transform(bbox_strict_bounded_original, K_original_inv,
                                 K_new, resize_hw=resize_hw)
@@ -202,6 +212,31 @@ class DreamDataset:
             [np.asarray(kp["projected_location"], np.float64)
              for kp in kp_data]), axis=0)
         bbox_gt2d = np.concatenate([kp2d_all.min(axis=0), kp2d_all.max(axis=0)])
+
+        # K_work drives the crops; K_original stays as annotated (the
+        # reference copies K before truncation handling, dream.py:221-227)
+        K_work = K_original
+        if self.process_truncation:
+            # pad the canvas so a truncated robot's crop bbox fits, shifting
+            # the working K (roboutils.py:163-195). Keypoints are recomputed
+            # from 3D through the adjusted K downstream.
+            raw = RU.get_bbox_raw(bbox_gt2d)
+            d = [max(0, int(-raw[0])), max(0, int(-raw[1])),
+                 max(0, int(raw[2] - w)), max(0, int(raw[3] - h))]
+            d = [min(m, v) for m, v in zip(self.truncation_padding, d)]
+            if any(d):
+                dl, dt, dr, db = d
+                canvas = np.zeros((h + dt + db, w + dl + dr, 3), np.uint8)
+                canvas[dt:dt + h, dl:dl + w] = rgb
+                rgb = canvas
+                h, w = rgb.shape[:2]
+                K_work = K_original.copy()
+                K_work[0, 2] += dl
+                K_work[1, 2] += dt
+                kp2d_all = kp2d_all + np.asarray([dl, dt], np.float64)
+                bbox_gt2d = np.concatenate(
+                    [kp2d_all.min(axis=0), kp2d_all.max(axis=0)])
+
         bbox = RU.get_bbox(bbox_gt2d, w, h, strict=self.strict_crop)
         bbox_gt2d_extended_original = RU.get_extended_bbox(
             bbox_gt2d, 20, 20, 20, 20, bounded=True, image_size=(w, h))
@@ -236,9 +271,10 @@ class DreamDataset:
         if self.rgb_augmentation:
             rgb = apply_pillow_augs(rgb)
 
-        root = self._make_crop(rgb, bbox, K_original, keypoints_3d,
-                               bbox_strict_bounded, self.rootnet_resize_hw)
-        other = self._make_crop(rgb, bbox, K_original, keypoints_3d,
+        root = self._make_crop(rgb, bbox, K_work, keypoints_3d,
+                               bbox_strict_bounded, self.rootnet_resize_hw,
+                               flip=self.flip)
+        other = self._make_crop(rgb, bbox, K_work, keypoints_3d,
                                 bbox_strict_bounded, self.other_resize_hw)
 
         out = dict(

@@ -37,6 +37,25 @@ class PartialSampler:
                     .tolist())
 
 
+class WeightedRandomSampler:
+    """Sample indices with replacement proportionally to weights (the
+    reference's resampling option, train_depthnet.py:62-64)."""
+
+    def __init__(self, weights, num_samples: int, seed: int = 808):
+        self.weights = np.asarray(weights, np.float64)
+        self.weights = self.weights / self.weights.sum()
+        self.num_samples = num_samples
+        self._rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.num_samples
+
+    def __iter__(self):
+        return iter(self._rng.choice(
+            len(self.weights), size=self.num_samples, replace=True,
+            p=self.weights).tolist())
+
+
 class ListSampler:
     """Fixed index replay, for best/worst-case visualization passes
     (samplers.py:23-31)."""

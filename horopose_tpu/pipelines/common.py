@@ -63,6 +63,10 @@ def build_fullnet(cfg) -> FullNet:
 
 
 def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
+    if cfg.get("padding"):
+        raise NotImplementedError(
+            "cfg.padding (post-crop re-padding) is not supported; all "
+            "shipped reference configs use padding=False")
     return DreamDataset(
         path,
         rootnet_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
@@ -72,6 +76,9 @@ def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
         occlusion_augmentation=cfg.occlusion if train else False,
         occlu_p=cfg.occlu_p,
         extend_ratio=cfg.extend_ratio,
+        flip=cfg.rootnet_flip if train else False,
+        process_truncation=bool(cfg.fix_truncation),
+        truncation_padding=tuple(cfg.truncation_padding),
     )
 
 
@@ -85,6 +92,18 @@ def get_dataloaders(cfg) -> Dict:
 
     ds_train = _mk_dataset(cfg, train_path, train=True)
     sampler = PartialSampler(ds_train, cfg.epoch_size)
+    if cfg.get("resample"):
+        # weighted resampling (train_depthnet.py:62-64); weights file is a
+        # user-supplied artifact
+        weights_path = os.path.join("unit_test", "z_weights.npy")
+        if os.path.exists(weights_path):
+            from horopose_tpu.data.samplers import WeightedRandomSampler
+            weights = np.load(weights_path)
+            sampler = WeightedRandomSampler(
+                weights, num_samples=min(cfg.epoch_size, len(ds_train)))
+        else:
+            print(f"[data] resample=True but {weights_path} missing; "
+                  "falling back to uniform sampling")
     out["train"] = DataLoader(ds_train, batch_size=cfg.batch_size,
                               sampler=sampler,
                               num_workers=cfg.n_dataloader_workers,

@@ -25,6 +25,10 @@ def main():
     print(f"use config file: {args.config}")
     print(f"experiment: {cfg.exp_name}")
 
+    if cfg.debug_nans:
+        from horopose_tpu.core.profiling import enable_debug_nans
+        enable_debug_nans(True)
+
     if cfg.use_rootnet_with_reg_int_shared_backbone:
         from horopose_tpu.pipelines.train_full import train_full
         print("training with full network pipeline (regression + integral "

@@ -1,0 +1,91 @@
+"""Aux subsystems: vis, profiling, flip/truncation/resample data options."""
+
+import os
+
+import numpy as np
+
+from fixtures import make_synthetic_dream_dataset
+from horopose_tpu.core import vis
+from horopose_tpu.data import DreamDataset
+from horopose_tpu.data.samplers import WeightedRandomSampler
+
+
+def test_vis_joints_3d(tmp_path, rng):
+    images = rng.randint(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    kp3 = rng.randn(2, 7, 3).astype(np.float32)
+    kp2 = rng.uniform(0, 64, (2, 7, 2)).astype(np.float32)
+    path = str(tmp_path / "vis.jpg")
+    vis.vis_joints_3d(images, kp3, kp3 + 0.01, kp2, kp2 + 1.0, path)
+    assert os.path.exists(path)
+
+
+def test_draw_add_curve(tmp_path, rng):
+    alldis = {"dis3d": rng.uniform(0, 0.2, 500)}
+    vis.draw_add_curve(alldis, str(tmp_path), "panda_synth_test_dr",
+                       auc=0.42)
+    assert os.path.exists(
+        tmp_path / "add_distribution_curve_panda_synth_test_dr.jpg")
+
+
+def test_silhouette_comparison(tmp_path, rng):
+    r = rng.rand(32, 32).astype(np.float32)
+    t = rng.rand(32, 32).astype(np.float32)
+    path = str(tmp_path / "stack.jpg")
+    vis.save_silhouette_comparison(r, t, path)
+    assert os.path.exists(path)
+
+
+def test_weighted_sampler():
+    w = np.array([0.0, 0.0, 1.0, 1.0])
+    s = WeightedRandomSampler(w, num_samples=100, seed=0)
+    idx = np.array(list(iter(s)))
+    assert set(idx) <= {2, 3}
+    assert len(idx) == 100
+
+
+def test_flip_dataset_consistency(tmp_path, rng):
+    """Flipped rootnet crop: reprojecting 3D keypoints through the mirrored
+    K must land on the flipped 2D keypoints."""
+    d = make_synthetic_dream_dataset(tmp_path, "panda", n_images=2, seed=5)
+    ds = DreamDataset(d, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False, flip=True)
+    import random
+    random.seed(0)
+    for _ in range(4):  # flip fires with p=0.5; try several draws
+        s = ds[0]
+        K = s["root"]["K"]
+        kp3 = s["root"]["keypoints_3d"]
+        proj = (K @ kp3.T).T
+        proj = proj[:, :2] / proj[:, 2:3]
+        np.testing.assert_allclose(proj, s["root"]["keypoints_2d"],
+                                   atol=1e-2)
+        if K[0, 0] < 0:  # a flip actually happened at least once
+            return
+    # not guaranteed but overwhelmingly likely with 4 draws at p=0.5
+    raise AssertionError("flip never triggered in 4 draws")
+
+
+def test_truncation_padding(tmp_path, rng):
+    d = make_synthetic_dream_dataset(tmp_path / "t", "panda", n_images=2,
+                                     seed=6)
+    ds = DreamDataset(d, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False, process_truncation=True)
+    s = ds[0]
+    # keypoint consistency chain must hold regardless of canvas padding
+    K = s["other"]["K"]
+    kp3 = s["other"]["keypoints_3d"]
+    proj = (K @ kp3.T).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    np.testing.assert_allclose(proj, s["other"]["keypoints_2d"], atol=1e-2)
+
+
+def test_profiling_helpers():
+    import jax.numpy as jnp
+    from horopose_tpu.core.profiling import StepTimer, assert_finite
+    bad = assert_finite({"a": jnp.asarray([1.0, jnp.nan])})
+    assert int(bad) == 1
+    timer = StepTimer(skip_first=1)
+    for _ in range(3):
+        with timer.measure():
+            pass
+    assert timer.mean >= 0
