@@ -140,11 +140,31 @@ class DreamDataset:
                    bbox_strict_bounded_original, resize_hw, flip=False):
         """Square-pad crop -> resize -> K update -> reprojected keypoints.
         Mirrors _get_rootnet_data/_get_other_data (dream.py:281-388)."""
-        kp2d_dummy = np.zeros((len(keypoints_3d), 2), np.float64)
-        square, _, K_sq = RU.resize_image(rgb, bbox, kp2d_dummy,
-                                          K_original.copy())
-        crop, K_new, kp2d = crop_resize_to_aspect(square, K_sq, keypoints_3d,
-                                                  resize=resize_hw)
+        crop = None
+        if resize_hw[0] == resize_hw[1]:
+            # fused native path: one pass from source pixels to the crop
+            # (same align_corners=False bilinear as the reference's
+            # F.interpolate; see native/dream_ops.cpp)
+            from horopose_tpu import native
+            crop = native.crop_resize_bilinear(rgb, bbox, resize_hw[0])
+        if crop is not None:
+            wmin, hmin, wmax, hmax = [int(v) for v in bbox]
+            sq = int(max(wmax - wmin, hmax - hmin))
+            x_off = int((sq - (wmax - wmin)) // 2)
+            y_off = int((sq - (hmax - hmin)) // 2)
+            K_sq = K_original.copy()
+            K_sq[0, 2] -= (wmin - x_off)
+            K_sq[1, 2] -= (hmin - y_off)
+            K_new = RU.get_K_crop_resize_np(
+                K_sq, (0.0, 0.0, float(sq), float(sq)), (sq, sq), resize_hw)
+            kp_h = (K_new @ keypoints_3d.T).T
+            kp2d = kp_h[:, :2] / kp_h[:, 2:3]
+        else:
+            kp2d_dummy = np.zeros((len(keypoints_3d), 2), np.float64)
+            square, _, K_sq = RU.resize_image(rgb, bbox, kp2d_dummy,
+                                              K_original.copy())
+            crop, K_new, kp2d = crop_resize_to_aspect(
+                square, K_sq, keypoints_3d, resize=resize_hw)
         if flip and random.random() <= 0.5:
             from horopose_tpu.data.augmentations import \
                 flip_image_and_annotations

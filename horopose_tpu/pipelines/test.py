@@ -47,8 +47,36 @@ def make_test_cfg(exp_path: str, dataset_path: str):
     return cfg
 
 
+def visualize_extremes(cfg, robot, eval_step, state, ds, dis3d, image_ids,
+                       result_path: str, n: int = 4, batch_size: int = 8):
+    """Best/worst-case skeleton visualization via index replay
+    (reference: scripts/test.py:280-322 with ListSampler)."""
+    from horopose_tpu.core.vis import vis_joints_3d
+    from horopose_tpu.data.samplers import collate, pad_batch
+    from horopose_tpu.ops.transforms import project_points
+    import jax.numpy as jnp
+
+    order = np.argsort(np.asarray(dis3d))
+    for tag, ids in (("best", order[:n]), ("worst", order[-n:])):
+        sel = [int(image_ids[i]) for i in ids]
+        batch = collate([ds[i] for i in sel])
+        batch, n_valid = pad_batch(batch, batch_size)
+        preds, gts, _ = eval_step(state, batch)
+        kp3_pred = np.asarray(preds["xyz_fk"])[:n_valid]
+        kp3_gt = np.asarray(gts["gt_keypoints3d"])[:n_valid]
+        K = np.asarray(batch["other"]["K"], np.float32)[:n_valid]
+        kp2_pred = np.asarray(project_points(jnp.asarray(K),
+                                             jnp.asarray(kp3_pred)))
+        kp2_gt = np.asarray(batch["other"]["keypoints_2d"])[:n_valid]
+        images = np.asarray(batch["other"]["images"])[:n_valid]
+        vis_joints_3d(images, kp3_pred, kp3_gt, kp2_pred, kp2_gt,
+                      os.path.join(result_path, f"vis_{tag}_cases.jpg"),
+                      n_samples=n_valid)
+
+
 def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
-                 batch_size: int = 128, max_batches: int = None):
+                 batch_size: int = 128, max_batches: int = None,
+                 visualization: bool = False):
     set_seed()
     robot = make_robot(cfg)
     result_path = os.path.join(cfg.exp_path, "result")
@@ -117,6 +145,8 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         rotang = np.abs(ep - eg).mean(axis=1)
 
         sl = slice(0, n_valid)
+        alldis["id"].extend(
+            np.asarray(batch["image_id"])[sl].tolist())
         alldis["dis3d"].extend(m_fk["image_dis3d_avg"][sl])
         alldis["dis2d"].extend(m_fk["image_dis2d_avg"][sl])
         alldis["jointerror"].extend(m_fk["image_l1jointerror_avg"][sl])
@@ -182,5 +212,8 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
                        auc=summary["ADD/AUC"])
     except Exception as e:
         print(f"[test] ADD curve plot skipped: {e}")
+    if visualization:
+        visualize_extremes(cfg, robot, eval_step, state, ds,
+                           alldis["dis3d"], alldis["id"], result_path)
     print("\n".join(lines))
     return summary

@@ -23,6 +23,8 @@ def main():
     parser.add_argument("--ckpt", type=str,
                         default="curr_best_auc(add)_model.pk")
     parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--visualization", action="store_true",
+                        help="save best/worst-case skeleton figures")
     args = parser.parse_args()
 
     dataset = args.dataset
@@ -33,7 +35,8 @@ def main():
                 dataset = cand
                 break
     cfg = make_test_cfg(args.exp_path, dataset)
-    test_network(cfg, ckpt_name=args.ckpt, batch_size=args.batch_size)
+    test_network(cfg, ckpt_name=args.ckpt, batch_size=args.batch_size,
+                 visualization=args.visualization)
 
 
 if __name__ == "__main__":
