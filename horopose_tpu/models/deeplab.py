@@ -178,3 +178,33 @@ class SegTeacher:
         x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
         _, seg = self.model.apply(self.variables, x, train=False)
         return jax.nn.sigmoid(seg[..., 0])
+
+
+class CtRNetInference:
+    """Full CtRNet-style inference: masks + 2D keypoints + camera-to-robot
+    pose via PnP against FK keypoints.
+
+    Parity target: /root/reference/lib/models/ctrnet/CtRNet.py:10-148
+    (inference_batch_images: keypoint detection -> BPnP against the robot's
+    FK points -> cTr pose). The PnP here is our batched on-device solver.
+    """
+
+    def __init__(self, teacher: SegTeacher, robot, scale: float = 0.5):
+        self.teacher = teacher
+        self.robot = robot
+        self.scale = scale
+
+    def __call__(self, images_uint8: jnp.ndarray, joint_angles: jnp.ndarray,
+                 K: jnp.ndarray):
+        """Returns (masks, keypoints_2d full-res pixels, (R, t))."""
+        from horopose_tpu.ops.pnp import pnp
+        x = images_uint8.astype(jnp.float32) / 255.0
+        x = _resize_bilinear(x, self.teacher.out_hw)
+        x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+        kp, seg = self.teacher.model.apply(self.teacher.variables, x,
+                                           train=False)
+        masks = jax.nn.sigmoid(seg[..., 0])
+        kp_full = kp / self.scale                   # back to full-res pixels
+        pts3d = self.robot.get_keypoints_only_fk(joint_angles)
+        R, t = pnp(kp_full, pts3d, K)
+        return masks, kp_full, (R, t)

@@ -49,8 +49,9 @@ def _dlt_init(pts2d: jnp.ndarray, pts3d: jnp.ndarray, K: jnp.ndarray):
     P = vt[-1].reshape(3, 4)
     M = jnp.linalg.solve(K, P)                              # K^-1 P = s[R|t]
     R_raw = M[:, :3]
-    scale = jnp.linalg.norm(R_raw, axis=1).mean()
-    sign = jnp.sign(jnp.linalg.det(R_raw))
+    scale = jnp.maximum(jnp.linalg.norm(R_raw, axis=1).mean(), 1e-9)
+    det = jnp.linalg.det(R_raw)
+    sign = jnp.where(det >= 0, 1.0, -1.0)  # avoid sign(0) = 0 degeneracy
     R_raw = R_raw * sign
     t0 = M[:, 3] * sign / scale
     # orthogonalize
@@ -96,8 +97,14 @@ def _refine(theta0, pts2d, pts3d, K, iters: int = _REFINE_ITERS):
         H = J.T @ J + _LM_LAMBDA * jnp.eye(6, dtype=theta.dtype)
         g = J.T @ r
         step = jnp.linalg.solve(H, g)
+        # degenerate configurations (coincident points, rank-deficient H)
+        # must not poison the state: skip non-finite steps
+        step = jnp.where(jnp.isfinite(step), step, 0.0)
         return theta - step, None
 
+    # sanitize a degenerate init: fall back to identity pose at z=1
+    fallback = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 1.0], theta0.dtype)
+    theta0 = jnp.where(jnp.all(jnp.isfinite(theta0)), theta0, fallback)
     theta, _ = jax.lax.scan(body, theta0, None, length=iters)
     return theta
 
