@@ -50,15 +50,7 @@ def build(dtype):
       jnp.eye(3)[None])
     jax.block_until_ready(variables)
     print(f"# init done in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-
-    @jax.jit
-    def forward(variables, x_reg, x_root, k_value, K):
-        out = model.apply(variables, x_reg, x_root, k_value, K, train=False)
-        out["xyz_fk"] = robot.get_keypoints_root(
-            out["pose"], out["rot"], out["trans"], root=3)
-        return out["xyz_fk"], out["pose"], out["rot"], out["trans"]
-
-    return forward, variables
+    return model, robot, variables
 
 
 def make_args(batch_size: int):
@@ -70,21 +62,30 @@ def make_args(batch_size: int):
     return x, x, k, K
 
 
-def measure(forward, variables, batch_size: int, iters: int = 20,
-            warmup: int = 3):
-    args = make_args(batch_size)
+def measure(model, robot, variables, batch_size: int, iters: int = 10):
+    """Honest throughput: `iters` full forwards chained ON DEVICE inside one
+    jit (each iteration's input depends on the previous output, preventing
+    reordering/elision) and synchronized with a host transfer of the scalar
+    result. Plain block_until_ready does not reliably synchronize over
+    remote-attached TPU backends, so dispatch-loop timing overestimates."""
+    x, _, k, K = make_args(batch_size)
+
+    @jax.jit
+    def chained(v, x0, k, K):
+        def body(c, _):
+            out = model.apply(v, c, c, k, K, train=False)
+            fk = robot.get_keypoints_root(out["pose"], out["rot"],
+                                          out["trans"], root=3)
+            return c + fk.mean().astype(c.dtype) * 1e-9, ()
+        c, _ = jax.lax.scan(body, x0, None, length=iters)
+        return c.mean()
+
     t0 = time.perf_counter()
-    out = forward(variables, *args)
-    jax.block_until_ready(out)
-    print(f"# batch={batch_size} compile {time.perf_counter() - t0:.1f}s",
+    np.asarray(chained(variables, x, k, K))  # compile + first run
+    print(f"# batch={batch_size} compile+run {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    for _ in range(warmup):
-        out = forward(variables, *args)
-    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, *args)
-    jax.block_until_ready(out)
+    np.asarray(chained(variables, x, k, K))
     dt = (time.perf_counter() - t0) / iters
     return batch_size / dt
 
@@ -96,12 +97,12 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
     dtype = jnp.bfloat16
-    forward, variables = build(dtype)
+    model, robot, variables = build(dtype)
     best = 0.0
     best_bs = 0
     for bs in args.batches:
         try:
-            ips = measure(forward, variables, bs, iters=args.iters)
+            ips = measure(model, robot, variables, bs, iters=args.iters)
         except Exception as e:
             print(f"# batch {bs} failed: {e}", file=sys.stderr)
             continue
