@@ -45,6 +45,20 @@ def normalize_heatmap(logits: jnp.ndarray, norm_type: str = "softmax",
     raise NotImplementedError(norm_type)
 
 
+def normalize_heatmap_multiple_sampling(logits: jnp.ndarray, rng: jax.Array,
+                                        sample_num: int = 1,
+                                        tau: float = 5.0) -> jnp.ndarray:
+    """Gumbel multi-sample normalization (integral.py:30-41): logits
+    (B, K, N) -> (B, sample_num, K, N) distributions."""
+    B, K, N = logits.shape
+    eps = jax.random.uniform(rng, (B, K, sample_num, N), logits.dtype,
+                             minval=1e-20, maxval=1.0)
+    log_eps = jnp.log(-jnp.log(eps))
+    gumbel = logits[:, :, None, :] - log_eps / tau
+    probs = jax.nn.softmax(gumbel, axis=-1)
+    return jnp.swapaxes(probs, 1, 2)  # (B, S, K, N)
+
+
 def soft_argmax_3d(logits: jnp.ndarray, depth_dim: int, height_dim: int,
                    width_dim: int, norm_type: str = "softmax",
                    rng: Optional[jax.Array] = None) -> jnp.ndarray:

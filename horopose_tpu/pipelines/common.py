@@ -23,6 +23,16 @@ from horopose_tpu.models import FullNet
 REAL_DS_SHORTS = ("azure", "kinect", "realsense", "orb")
 
 
+def make_pnp_fn(cfg):
+    """Pseudo-GT rotation for REAL datasets: PnP of the annotated 2D
+    keypoints against FK 3D points (function.py:67-75). Returns None on
+    synthetic sets, where TCO is the rotation ground truth."""
+    if "synth" in str(cfg.train_ds_names):
+        return None
+    from horopose_tpu.ops.pnp import pnp
+    return pnp
+
+
 def set_seed(seed: int = C.GLOBAL_SEED):
     random.seed(seed)
     np.random.seed(seed)

@@ -27,7 +27,8 @@ from horopose_tpu.core.metrics import (ADD_THRESHOLDS_MM, PCK_THRESHOLDS_PX,
                                        compute_metrics_batch, summary_add_pck)
 from horopose_tpu.parallel import make_mesh, shard_batch
 from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
-                                           make_robot, set_seed)
+                                           make_pnp_fn, make_robot,
+                                           set_seed)
 
 _LOSS_TAGS = ["loss_joint", "loss_rot", "loss_trans", "loss_uv", "loss_depth",
               "loss_error2d", "loss_error3d", "loss_error2d_int",
@@ -189,8 +190,10 @@ def train_full(cfg, max_epochs=None, max_steps_per_epoch=None):
         start_epoch = int(payload["epoch"]) + 1
         keeper.resume()
 
-    train_step = build_full_train_step(cfg, model, robot, tx)
-    eval_step = build_full_eval_step(cfg, model, robot)
+    pnp_fn = make_pnp_fn(cfg)
+    train_step = build_full_train_step(cfg, model, robot, tx,
+                                       pnp_fn=pnp_fn)
+    eval_step = build_full_eval_step(cfg, model, robot, pnp_fn=pnp_fn)
 
     n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
     for epoch in range(start_epoch, n_epochs):

@@ -41,7 +41,8 @@ from horopose_tpu.models.deeplab import SegTeacher
 from horopose_tpu.kinematics.meshes import build_robot_mesh
 from horopose_tpu.ops.rasterizer import render_robot_silhouette
 from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
-                                           make_robot, set_seed)
+                                           make_pnp_fn, make_robot,
+                                           set_seed)
 from horopose_tpu.pipelines.train_full import validate_full
 
 
@@ -179,7 +180,8 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     keeper = BestCheckpointKeeper(ckpt_folder, cfg.urdf_robot_name)
     train_step = build_sim2real_train_step(cfg, model, robot, robot_mesh,
                                            seg_teacher, tx)
-    eval_step = build_full_eval_step(cfg, model, robot)
+    eval_step = build_full_eval_step(cfg, model, robot,
+                                     pnp_fn=make_pnp_fn(cfg))
 
     n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
     for epoch in range(n_epochs):

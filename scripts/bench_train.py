@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark (secondary metric; bench.py is the
+driver-facing inference benchmark).
+
+Measures the COMPLETE supervised training step (normalize + GT prep + both
+backbones + FK + 10-loss battery + backward + Adam update) at the reference
+training configuration (256x256, batch 64, full.yaml loss weights), using
+the honest on-device chained methodology: N steps scanned inside one jit
+with the TrainState as the carry, synchronized by a host transfer.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+
+
+def make_fake_batch(B, size, nk, dof):
+    r = np.random.RandomState(0)
+    K = np.tile(np.asarray([[320.0, 0, size / 2], [0, 320.0, size / 2],
+                            [0, 0, 1]], np.float32)[None], (B, 1, 1))
+    crop = dict(
+        images=r.randint(0, 255, (B, size, size, 3), dtype=np.uint8),
+        K=K,
+        keypoints_3d=r.uniform(0.5, 1.5, (B, nk, 3)).astype(np.float32),
+        keypoints_2d=r.uniform(0, size, (B, nk, 2)).astype(np.float32),
+        valid_mask_crop=np.ones((B, nk), np.float32),
+        bbox_strict_bounded=np.tile(np.asarray([4, 4, size - 4, size - 4],
+                                               np.float32)[None], (B, 1)),
+        bbox_gt2d_extended=np.tile(np.asarray([4, 4, size - 4, size - 4],
+                                              np.float32)[None], (B, 1)),
+    )
+    return dict(
+        TCO=np.tile(np.eye(4, dtype=np.float32)[None], (B, 1, 1)),
+        K_original=K.copy(),
+        jointpose=r.uniform(-0.5, 0.5, (B, dof)).astype(np.float32),
+        keypoints_2d_original=r.uniform(0, 640, (B, nk, 2)).astype(
+            np.float32),
+        keypoints_3d_original=crop["keypoints_3d"].copy(),
+        valid_mask=np.ones((B, nk), np.float32),
+        bbox_strict_bounded_original=crop["bbox_strict_bounded"].copy(),
+        bbox_gt2d_extended_original=crop["bbox_gt2d_extended"].copy(),
+        root=crop, other=dict(crop),
+    )
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args()
+
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.core.engine import (build_full_train_step,
+                                          create_train_state, make_optimizer)
+    from horopose_tpu.pipelines.common import build_fullnet, make_robot
+
+    cfg = make_default_cfg()
+    cfg.backbone_name = "resnet50"
+    cfg.rootnet_backbone_name = "hrnet32"
+    for k in ("pose", "rot", "trans", "uv"):
+        cfg[f"{k}_loss_weight"] = 1.0
+    for k in ("depth", "kp2d", "kp3d", "kp2d_int", "kp3d_int"):
+        cfg[f"{k}_loss_weight"] = 10.0
+
+    robot = make_robot(cfg)
+    model = build_fullnet(cfg)
+    size = int(cfg.image_size)
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    variables = jax.jit(lambda r, x, k, K: model.init(
+        {"params": r, "dropout": r}, x, x, k, K, train=False))(
+        rng, jnp.zeros((1, size, size, 3)), jnp.ones((1,)), jnp.eye(3)[None])
+    jax.block_until_ready(variables)
+    print(f"# init {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    tx = make_optimizer(cfg, 1000)
+    state = create_train_state(variables, tx)
+    step = build_full_train_step(cfg, model, robot, tx)
+
+    batch = jax.tree.map(jnp.asarray, make_fake_batch(
+        args.batch_size, size, robot.num_keypoints, robot.dof))
+
+    @jax.jit
+    def chained(state, batch, rng):
+        def body(carry, i):
+            st, r = carry
+            r, sub = jax.random.split(r)
+            st, logs = step(st, batch, sub)
+            return (st, r), logs["loss"]
+        (st, _), losses = jax.lax.scan(body, (state, rng), None,
+                                       length=args.iters)
+        return losses.mean()
+
+    t0 = time.perf_counter()
+    val = np.asarray(chained(state, batch, rng))
+    print(f"# compile+run {time.perf_counter() - t0:.1f}s, loss {val:.2f}",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    np.asarray(chained(state, batch, rng))
+    dt = (time.perf_counter() - t0) / args.iters
+    ips = args.batch_size / dt
+    print(json.dumps({"metric": "train_throughput", "value": round(ips, 1),
+                      "unit": "images/sec/chip",
+                      "step_ms": round(dt * 1000, 1),
+                      "batch_size": args.batch_size}))
+
+
+if __name__ == "__main__":
+    main()
