@@ -16,7 +16,6 @@ params stay replicated and XLA inserts the psum for grads.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct

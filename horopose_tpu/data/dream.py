@@ -23,7 +23,7 @@ import json
 import os
 import random
 from pathlib import Path
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 from PIL import Image

@@ -14,7 +14,7 @@ All methods accept arbitrary leading batch dims and are jit/vmap/grad-safe.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -23,8 +23,6 @@ flow — everything is static-shape.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
@@ -44,8 +44,12 @@ def make_robot(cfg) -> Robot:
 
 
 def build_fullnet(cfg) -> FullNet:
+    import jax.numpy as jnp
     robot_type = cfg.urdf_robot_name
+    dtype = jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == \
+        "bfloat16" else jnp.float32
     return FullNet(
+        dtype=dtype,
         robot_type=robot_type,
         dof=C.DOF[robot_type],
         num_keypoints=C.NUM_KEYPOINTS[robot_type],
@@ -69,6 +73,10 @@ def build_fullnet(cfg) -> FullNet:
         else None,
         init_pose=tuple(C.initial_joint_vector(
             "mean", robot_type).tolist()),
+        # identity rotation in the configured representation
+        # (reference: rotmat_to_rot6d/quat of eye(3), full_net.py:186-189)
+        init_rot=(1.0, 0.0, 0.0, 0.0) if int(cfg.rotation_dim) == 4
+        else (1.0, 0.0, 0.0, 0.0, 1.0, 0.0),
     )
 
 

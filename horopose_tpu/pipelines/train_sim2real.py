@@ -32,10 +32,9 @@ from horopose_tpu import constants as C
 from horopose_tpu.core.checkpoint import (BestCheckpointKeeper,
                                           load_checkpoint_file, restore_state)
 from horopose_tpu.core.engine import (TrainState, build_full_eval_step,
-                                      create_train_state, make_optimizer,
-                                      prepare_gt, _forward)
+                                      make_optimizer, prepare_gt,
+                                      _forward)
 from horopose_tpu.core.loggers import AverageMeter, create_logger
-from horopose_tpu.core import losses as L
 from horopose_tpu.models.common import frozen_batchnorm
 from horopose_tpu.models.deeplab import SegTeacher
 from horopose_tpu.kinematics.meshes import build_robot_mesh

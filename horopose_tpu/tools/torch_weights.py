@@ -21,7 +21,7 @@ needed to *read* .pth/.pk files (tools/load_torch_file), not to convert.
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
@@ -119,8 +119,6 @@ def convert_resnet(sd: Dict[str, np.ndarray], stage_sizes,
 def merge_into(variables: Dict, tb: TreeBuilder, strict_shapes: bool = True):
     """Merge converted subtrees into an initialized flax variables dict,
     verifying shapes. Returns the updated variables (new dict)."""
-    import jax
-
     def merge(dst, src, where):
         out = dict(dst)
         for k, v in src.items():

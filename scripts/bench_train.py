@@ -59,6 +59,8 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 backbone compute (mixed precision)")
     args = p.parse_args()
 
     from horopose_tpu.config import make_default_cfg
@@ -69,6 +71,8 @@ def main():
     cfg = make_default_cfg()
     cfg.backbone_name = "resnet50"
     cfg.rootnet_backbone_name = "hrnet32"
+    if args.bf16:
+        cfg.compute_dtype = "bfloat16"
     for k in ("pose", "rot", "trans", "uv"):
         cfg[f"{k}_loss_weight"] = 1.0
     for k in ("depth", "kp2d", "kp3d", "kp2d_int", "kp3d_int"):
