@@ -98,6 +98,13 @@ def main():
     args = p.parse_args()
     dtype = jnp.bfloat16
     model, robot, variables = build(dtype)
+    # single-image latency (the reference's headline claim is "real-time")
+    try:
+        lat = 1000.0 / measure(model, robot, variables, 1, iters=args.iters)
+        print(f"# batch=1 latency: {lat:.2f} ms/image "
+              f"({1000.0 / lat:.0f} FPS)", file=sys.stderr)
+    except Exception as e:
+        print(f"# batch-1 latency failed: {e}", file=sys.stderr)
     best = 0.0
     best_bs = 0
     for bs in args.batches:

@@ -4,7 +4,6 @@ section 7 build-plan milestone 5 ("minimum end-to-end slice")."""
 
 import os
 
-import numpy as np
 import pytest
 import yaml
 

@@ -6,7 +6,7 @@ import numpy as np
 
 from horopose_tpu.kinematics import Robot
 from horopose_tpu.kinematics.meshes import (box_mesh, build_robot_mesh,
-                                            cylinder_mesh, sphere_mesh)
+                                            sphere_mesh)
 from horopose_tpu.ops.rasterizer import (rasterize_silhouette,
                                          render_robot_silhouette)
 
