@@ -43,8 +43,18 @@ class Robot:
         defaults to the built-in kinematic description.
     """
 
-    def __init__(self, robot_type: str, urdf_path: Optional[str] = None):
+    def __init__(self, robot_type: str, urdf_path: Optional[str] = None,
+                 keypoint_offsets_json: Optional[str] = None):
         self.robot_type = robot_type
+        if robot_type not in C.DOF:
+            raise ValueError(
+                f"unknown robot type {robot_type!r}; supported: "
+                f"{sorted(C.DOF)}")
+        if urdf_path is None and robot_type not in BUILTIN_URDF:
+            raise ValueError(
+                f"{robot_type!r} has no built-in description; pass "
+                "urdf_path= (e.g. the owi535 deps URDF, lib/config.py:38)")
+        self._keypoint_offsets_json = keypoint_offsets_json
         self.urdf_path = urdf_path or BUILTIN_URDF[robot_type]
         self.model = parse_urdf(self.urdf_path)
         self.dof = C.DOF[robot_type]
@@ -66,6 +76,20 @@ class Robot:
 
     # ------------------------------------------------------------------
     def _keypoint_links_and_offsets(self):
+        if self.robot_type == "owi535":
+            # keypoint offsets come from a user-supplied keypoints.json
+            # (reference: urdf_robot.py:75-78 reads OWI_KEYPOINTS_PATH)
+            links = C.LINK_NAMES["owi535"]
+            offs = np.zeros((len(links), 3), np.float32)
+            if self._keypoint_offsets_json:
+                import json
+                infos = json.loads(open(self._keypoint_offsets_json).read())
+                entries = infos["offset"] if isinstance(infos, dict) else \
+                    [e["offset"] for e in infos]
+                offs = np.asarray(list(entries.values())
+                                  if isinstance(entries, dict) else entries,
+                                  np.float32)
+            return links, offs
         if self.robot_type in ("panda", "kuka"):
             links = C.LINK_NAMES[self.robot_type]
             return links, np.zeros((len(links), 3), np.float32)

@@ -180,3 +180,10 @@ def test_parse_urdf_from_string():
     assert poses.shape == (2, 4, 4)
     # rotation about y by 0.5
     np.testing.assert_allclose(poses[1, 0, 0], np.cos(0.5), atol=1e-6)
+
+
+def test_unknown_robot_friendly_error():
+    with pytest.raises(ValueError, match="unknown robot type"):
+        Robot("ur5")
+    with pytest.raises(ValueError, match="no built-in description"):
+        Robot("owi535")
