@@ -1,0 +1,142 @@
+"""End-to-end inference API: full frames in, robot state + pose out.
+
+The reference's only inference surface is the evaluation harness
+(scripts/test.py), which needs DREAM annotations for bboxes. This predictor
+packages the same pipeline for deployment: per-frame bbox (from any
+detector; defaults to the full frame), fused native crop, k-value prior,
+jitted FullNet forward, FK lift, and projection back into the ORIGINAL
+frame via the crop-adjusted intrinsics.
+
+Usage:
+    pred = Predictor.from_experiment("experiments/panda_full")
+    out = pred(images_uint8, K, bboxes=det_bboxes)   # (B,H,W,3), (B,3,3)
+    out["joints"], out["rotation"], out["translation"],
+    out["keypoints_3d"], out["keypoints_2d"]
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from horopose_tpu import constants as C
+from horopose_tpu.config import make_cfg
+from horopose_tpu.core.checkpoint import load_checkpoint_file, restore_state
+from horopose_tpu.core.engine import create_train_state, make_optimizer
+from horopose_tpu.data import roboutils as RU
+from horopose_tpu.ops.rotations import rot_to_rotmat
+from horopose_tpu.ops.transforms import k_value_from_bbox, project_points
+from horopose_tpu.pipelines.common import build_fullnet, make_robot
+
+
+class Predictor:
+    def __init__(self, cfg, variables, dtype=jnp.float32):
+        self.cfg = cfg
+        self.robot = make_robot(cfg)
+        if dtype is not None:
+            cfg.compute_dtype = ("bfloat16" if dtype == jnp.bfloat16
+                                 else "float32")
+        self.model = build_fullnet(cfg)
+        self.variables = variables
+        self.size = int(cfg.image_size)
+        self.ref = int(cfg.reference_keypoint_id)
+
+        model, robot, ref = self.model, self.robot, self.ref
+
+        @jax.jit
+        def _forward(variables, x, k_values, K_crop):
+            xf = x.astype(jnp.float32) / 255.0
+            out = model.apply(variables, xf, xf, k_values, K_crop,
+                              train=False)
+            out["xyz_fk"] = robot.get_keypoints_root(
+                out["pose"], out["rot"], out["trans"], root=ref)
+            return out
+
+        self._forward = _forward
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def from_experiment(cls, exp_path: str,
+                        ckpt_name: str = "curr_best_auc(add)_model.pk",
+                        dtype=jnp.float32) -> "Predictor":
+        cfg = make_cfg(os.path.join(exp_path, "config.yaml"))
+        predictor = cls(cfg, None, dtype=dtype)
+        rng = jax.random.PRNGKey(0)
+        s = predictor.size
+        variables = predictor.model.init(
+            {"params": rng, "dropout": rng}, jnp.zeros((1, s, s, 3)),
+            jnp.zeros((1, s, s, 3)), jnp.ones((1,)), jnp.eye(3)[None],
+            train=False)
+        ckpt_path = os.path.join(exp_path, "ckpt", ckpt_name)
+        if os.path.exists(ckpt_path):
+            tx = make_optimizer(cfg, 1)
+            state = create_train_state(variables, tx)
+            state = restore_state(state, load_checkpoint_file(ckpt_path))
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+        else:
+            print(f"[predictor] WARNING: {ckpt_path} missing, random init")
+        predictor.variables = variables
+        return predictor
+
+    # ------------------------------------------------------------------
+    def preprocess(self, images: np.ndarray, K: np.ndarray,
+                   bboxes: Optional[np.ndarray] = None):
+        """Crop/resize each frame and adjust intrinsics (CPU, native)."""
+        B, H, W = images.shape[:3]
+        if bboxes is None:
+            bboxes = np.tile(np.asarray([0, 0, W, H], np.float32)[None],
+                             (B, 1))
+        crops = np.empty((B, self.size, self.size, 3), np.uint8)
+        K_crops = np.empty((B, 3, 3), np.float32)
+        from horopose_tpu import native
+        from PIL import Image
+        for i in range(B):
+            bbox = RU.get_bbox(bboxes[i], W, H, strict=True)
+            crop = native.crop_resize_bilinear(images[i], bbox, self.size)
+            wmin, hmin, wmax, hmax = [int(v) for v in bbox]
+            sq = int(max(wmax - wmin, hmax - hmin))
+            if crop is None:  # no native toolchain: PIL fallback
+                kp_dummy = np.zeros((1, 2))
+                square, _, K_sq = RU.resize_image(images[i], bbox, kp_dummy,
+                                                  K[i].astype(np.float64))
+                crop = np.asarray(Image.fromarray(square).resize(
+                    (self.size, self.size), Image.BILINEAR))
+            else:
+                K_sq = K[i].astype(np.float64).copy()
+                K_sq[0, 2] -= (wmin - int((sq - (wmax - wmin)) // 2))
+                K_sq[1, 2] -= (hmin - int((sq - (hmax - hmin)) // 2))
+            crops[i] = crop
+            K_crops[i] = RU.get_K_crop_resize_np(
+                K_sq, (0.0, 0.0, float(sq), float(sq)), (sq, sq),
+                (self.size, self.size))
+        fx = np.abs(K_crops[:, 0, 0])
+        fy = np.abs(K_crops[:, 1, 1])
+        k_values = np.asarray(k_value_from_bbox(
+            jnp.asarray(bboxes, jnp.float32), jnp.asarray(fx),
+            jnp.asarray(fy)))
+        return crops, K_crops, k_values
+
+    def __call__(self, images: np.ndarray, K: np.ndarray,
+                 bboxes: Optional[np.ndarray] = None) -> Dict:
+        """images (B, H, W, 3) uint8 full frames; K (B, 3, 3); bboxes
+        (B, 4) xyxy robot boxes (full frame when omitted)."""
+        crops, K_crops, k_values = self.preprocess(images, K, bboxes)
+        out = self._forward(self.variables, jnp.asarray(crops),
+                            jnp.asarray(k_values), jnp.asarray(K_crops))
+        kp3d = np.asarray(out["xyz_fk"])
+        kp2d = np.asarray(project_points(jnp.asarray(K, jnp.float32),
+                                         jnp.asarray(kp3d)))
+        return dict(
+            joints=np.asarray(out["pose"]),
+            rotation=np.asarray(rot_to_rotmat(out["rot"])),
+            translation=np.asarray(out["trans"]),
+            root_depth=np.asarray(out["depth"]),
+            keypoints_3d=kp3d,
+            keypoints_3d_integral=np.asarray(out["xyz_int"]),
+            keypoints_2d=kp2d,
+        )

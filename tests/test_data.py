@@ -105,3 +105,17 @@ def test_partial_sampler_subsets():
     idx = list(iter(s))
     assert len(idx) == 10
     assert len(set(idx)) == 10
+
+
+def test_dataloader_process_workers(dream_dir):
+    """Process pool mode must produce identical-structure batches."""
+    ds = DreamDataset(dream_dir, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False)
+    loader = DataLoader(ds, batch_size=4, num_workers=2, drop_last=True,
+                        use_processes=True)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["root"]["images"].shape == (4, 256, 256, 3)
+    # second epoch reuses the persistent pool
+    batches2 = list(loader)
+    np.testing.assert_allclose(batches2[0]["TCO"], batches[0]["TCO"])

@@ -1,0 +1,63 @@
+"""Predictor API: experiment load + full-frame inference end to end."""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from fixtures import make_synthetic_dream_dataset
+from horopose_tpu.config import make_cfg
+
+
+@pytest.fixture(scope="module")
+def experiment(tmp_path_factory):
+    """Train one step so an experiment dir with config.yaml exists."""
+    base = tmp_path_factory.mktemp("pred")
+    train_dir = make_synthetic_dream_dataset(base / "dream", "panda",
+                                             n_images=4, split="train_dr",
+                                             seed=40)
+    cfg_yaml = dict(
+        exp_name="pred_smoke", urdf_robot_name="panda", batch_size=2,
+        epoch_size=2, n_epochs=1, n_dataloader_workers=1, image_size=64.0,
+        lr=1e-4, use_rootnet_with_reg_int_shared_backbone=True,
+        backbone_name="resnet18", rootnet_backbone_name="resnet18",
+        kp3d_loss_weight=10.0, depth_loss_weight=10.0,
+        reference_keypoint_id=3)
+    cfg_path = base / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg_yaml))
+    cwd = os.getcwd()
+    os.chdir(base)
+    try:
+        cfg = make_cfg(str(cfg_path))
+        cfg.train_ds_names = str(train_dir)
+        from horopose_tpu.pipelines.train_full import train_full
+        train_full(cfg, max_epochs=1)
+    finally:
+        os.chdir(cwd)
+    return base / "experiments" / "pred_smoke"
+
+
+def test_predictor_from_experiment(experiment, rng):
+    from horopose_tpu.predictor import Predictor
+    pred = Predictor.from_experiment(str(experiment))
+    B, H, W = 2, 480, 640
+    images = rng.randint(0, 255, (B, H, W, 3), dtype=np.uint8)
+    K = np.tile(np.asarray([[320.0, 0, 320], [0, 320.0, 240], [0, 0, 1]],
+                           np.float32)[None], (B, 1, 1))
+    bboxes = np.tile(np.asarray([150, 100, 450, 380], np.float32)[None],
+                     (B, 1))
+    out = pred(images, K, bboxes)
+    assert out["joints"].shape == (B, 8)
+    assert out["rotation"].shape == (B, 3, 3)
+    assert out["translation"].shape == (B, 3)
+    assert out["keypoints_3d"].shape == (B, 7, 3)
+    assert out["keypoints_2d"].shape == (B, 7, 2)
+    assert np.isfinite(out["keypoints_3d"]).all()
+    # rotation output must be a valid rotation matrix
+    eye = np.einsum("bij,bkj->bik", out["rotation"], out["rotation"])
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-4)
+    # full-frame default bbox also works
+    out2 = pred(images, K)
+    assert out2["joints"].shape == (B, 8)
