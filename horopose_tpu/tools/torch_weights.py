@@ -43,7 +43,12 @@ def _conv(w: np.ndarray) -> np.ndarray:
 
 
 def _deconv(w: np.ndarray) -> np.ndarray:
-    return np.transpose(w, (2, 3, 0, 1))
+    """torch ConvTranspose2d (in, out, kh, kw) -> flax ConvTranspose kernel
+    (kh, kw, in, out) with a SPATIAL FLIP: flax's default
+    (transpose_kernel=False) is a fractionally-strided convolution, which
+    equals torch's gradient-of-conv semantics only with flipped taps
+    (validated numerically in tests/test_torch_numeric_parity.py)."""
+    return np.ascontiguousarray(np.transpose(w, (2, 3, 0, 1))[::-1, ::-1])
 
 
 def _linear(w: np.ndarray) -> np.ndarray:
