@@ -36,7 +36,7 @@ class FuseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
-        norm = lambda: batch_norm(train, dtype=self.dtype)
+        norm = lambda name: batch_norm(train, dtype=self.dtype, name=name)
         outs = []
         for i in range(self.out_branches):
             acc = None
@@ -44,7 +44,7 @@ class FuseLayer(nn.Module):
                 if j > i:
                     y = nn.Conv(self.in_channels[i], (1, 1), use_bias=False,
                                 dtype=self.dtype, name=f"up{i}_{j}")(x)
-                    y = norm()(y)
+                    y = norm(f"up{i}_{j}_bn")(y)
                     y = _upsample_nearest(y, 2 ** (j - i))
                 elif j == i:
                     y = x
@@ -56,7 +56,7 @@ class FuseLayer(nn.Module):
                         y = nn.Conv(ch, (3, 3), (2, 2), padding=1,
                                     use_bias=False, dtype=self.dtype,
                                     name=f"down{i}_{j}_{k}")(y)
-                        y = norm()(y)
+                        y = norm(f"down{i}_{j}_{k}_bn")(y)
                         if not last:
                             y = nn.relu(y)
                 acc = y if acc is None else acc + y
@@ -93,14 +93,14 @@ class TransitionLayer(nn.Module):
 
     @nn.compact
     def __call__(self, xs, train: bool = True):
-        norm = lambda: batch_norm(train, dtype=self.dtype)
+        norm = lambda name: batch_norm(train, dtype=self.dtype, name=name)
         outs = []
         for i, ch in enumerate(self.new_channels):
             if i < len(self.prev_channels):
                 if ch != self.prev_channels[i]:
                     y = nn.Conv(ch, (3, 3), padding=1, use_bias=False,
                                 dtype=self.dtype, name=f"t{i}")(xs[i])
-                    y = norm()(y)
+                    y = norm(f"t{i}_bn")(y)
                     outs.append(nn.relu(y))
                 else:
                     outs.append(xs[i])
@@ -112,7 +112,7 @@ class TransitionLayer(nn.Module):
                     y = nn.Conv(out_ch, (3, 3), (2, 2), padding=1,
                                 use_bias=False, dtype=self.dtype,
                                 name=f"t{i}_d{j}")(y)
-                    y = norm()(y)
+                    y = norm(f"t{i}_d{j}_bn")(y)
                     y = nn.relu(y)
                 outs.append(y)
         return outs

@@ -177,7 +177,7 @@ def convert_hrnet(sd: Dict[str, np.ndarray], prefix: str = "",
             if f"{base}.0.weight" in sd:           # channel-adapting conv
                 tb.conv(out_prefix + (f"transition{tnum}", f"t{i}"), sd,
                         f"{base}.0")
-                tb.bn(out_prefix + (f"transition{tnum}", f"BatchNorm_0"),
+                tb.bn(out_prefix + (f"transition{tnum}", f"t{i}_bn"),
                       sd, f"{base}.1")
             elif f"{base}.0.0.weight" in sd:       # new deeper branch
                 j = 0
@@ -185,7 +185,7 @@ def convert_hrnet(sd: Dict[str, np.ndarray], prefix: str = "",
                     tb.conv(out_prefix + (f"transition{tnum}",
                                           f"t{i}_d{j}"), sd, f"{base}.{j}.0")
                     tb.bn(out_prefix + (f"transition{tnum}",
-                                        f"BatchNorm_{j}"), sd,
+                                        f"t{i}_d{j}_bn"), sd,
                           f"{base}.{j}.1")
                     j += 1
 
@@ -203,24 +203,20 @@ def convert_hrnet(sd: Dict[str, np.ndarray], prefix: str = "",
                               f"{tk}.bn{c + 1}")
             # fuse layers: torch fuse_layers.{i}.{j}
             n_out = n_branches
-            bn_counter = 0
             for i in range(n_out):
                 for j in range(n_branches):
                     base = f"{mk}.fuse_layers.{i}.{j}"
                     if j > i and f"{base}.0.weight" in sd:
                         tb.conv(fk + ("fuse", f"up{i}_{j}"), sd, f"{base}.0")
-                        tb.bn(fk + ("fuse", f"BatchNorm_{bn_counter}"), sd,
+                        tb.bn(fk + ("fuse", f"up{i}_{j}_bn"), sd,
                               f"{base}.1")
-                        bn_counter += 1
                     elif j < i:
                         for k in range(i - j):
                             if f"{base}.{k}.0.weight" in sd:
                                 tb.conv(fk + ("fuse", f"down{i}_{j}_{k}"),
                                         sd, f"{base}.{k}.0")
-                                tb.bn(fk + ("fuse",
-                                            f"BatchNorm_{bn_counter}"), sd,
-                                      f"{base}.{k}.1")
-                                bn_counter += 1
+                                tb.bn(fk + ("fuse", f"down{i}_{j}_{k}_bn"),
+                                      sd, f"{base}.{k}.1")
 
     transition(1, 1, 2)
     stage(2, 1, 2)
@@ -254,11 +250,6 @@ def convert_hrnet(sd: Dict[str, np.ndarray], prefix: str = "",
             tb.bn(out_prefix + ("final_feat_bn",), sd,
                   f"{p}final_feat_layer.1")
     return tb
-
-
-# note on BN numbering inside transitions: each TransitionLayer creates its
-# BatchNorms in call order, so BatchNorm_k pairs with the k-th conv created.
-# The helpers above follow the same order the torch module iterates.
 
 
 # ---------------------------------------------------------------------------
