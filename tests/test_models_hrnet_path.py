@@ -41,3 +41,14 @@ def test_fullnet_hrnet_reg_backbone():
                            train=False)
     out = model.apply(variables, x, x, k, K, train=False)
     assert out["uvd"].shape == (B, 7, 3)
+
+
+def test_hrnet_w48_width_param():
+    from horopose_tpu.models import get_hrnet
+    import jax
+    model = get_hrnet(48, num_joints=7, depth_dim=8)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    hm, feat = model.apply(variables, x, train=False)
+    assert hm.shape == (1, 16, 16, 56)
+    assert feat.shape == (1, 2048)
