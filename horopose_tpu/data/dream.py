@@ -89,6 +89,8 @@ class DreamDataset:
                  flip=False,
                  process_truncation=False,
                  truncation_padding=(120, 120, 120, 120),
+                 padding=False,
+                 padding_pixel=30,
                  return_original_image=False):
         self.base_dir = Path(base_dir)
         self.ds_name = os.path.basename(str(base_dir))
@@ -103,6 +105,8 @@ class DreamDataset:
         self.flip = flip
         self.process_truncation = process_truncation
         self.truncation_padding = list(truncation_padding)
+        self.padding = padding
+        self.padding_pixel = padding_pixel
         self.return_original_image = return_original_image
 
         self.frame_index = build_frame_index(self.base_dir)
@@ -165,6 +169,26 @@ class DreamDataset:
                                               K_original.copy())
             crop, K_new, kp2d = crop_resize_to_aspect(
                 square, K_sq, keypoints_3d, resize=resize_hw)
+        if self.padding:
+            # zoom-out border augmentation (roboutils.py:197-229 intent:
+            # pad the crop by padding_pixel, re-crop to the target size).
+            # Implemented as a border pad + resize with the matching K
+            # update; keypoints are re-projected from 3D through the new K.
+            p = int(self.padding_pixel)
+            S = resize_hw[0]
+            canvas = np.zeros((S + 2 * p, S + 2 * p, 3), np.uint8)
+            canvas[p:p + S, p:p + S] = crop
+            K_pad = K_new.copy()
+            K_pad[0, 2] += p
+            K_pad[1, 2] += p
+            K_new = RU.get_K_crop_resize_np(
+                K_pad, (0.0, 0.0, float(S + 2 * p), float(S + 2 * p)),
+                (S + 2 * p, S + 2 * p), resize_hw)
+            from PIL import Image
+            crop = np.asarray(Image.fromarray(canvas).resize(
+                (resize_hw[1], resize_hw[0]), Image.BILINEAR))
+            kp_h = (K_new @ keypoints_3d.T).T
+            kp2d = kp_h[:, :2] / kp_h[:, 2:3]
         if flip and random.random() <= 0.5:
             from horopose_tpu.data.augmentations import \
                 flip_image_and_annotations

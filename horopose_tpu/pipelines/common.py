@@ -81,11 +81,8 @@ def build_fullnet(cfg) -> FullNet:
 
 
 def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
-    if cfg.get("padding"):
-        raise NotImplementedError(
-            "cfg.padding (post-crop re-padding) is not supported; all "
-            "shipped reference configs use padding=False")
     return DreamDataset(
+        padding=bool(cfg.get("padding")),
         path,
         rootnet_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
         other_resize_hw=(int(cfg.image_size), int(cfg.image_size)),

@@ -119,3 +119,22 @@ def test_dataloader_process_workers(dream_dir):
     # second epoch reuses the persistent pool
     batches2 = list(loader)
     np.testing.assert_allclose(batches2[0]["TCO"], batches[0]["TCO"])
+
+
+def test_padding_zoom_out(dream_dir):
+    """padding=True: border pad + re-resize keeps the projection chain
+    consistent and shrinks the robot's 2D footprint."""
+    ds_plain = DreamDataset(dream_dir, color_jitter=False,
+                            rgb_augmentation=False,
+                            occlusion_augmentation=False)
+    ds_pad = DreamDataset(dream_dir, color_jitter=False,
+                          rgb_augmentation=False,
+                          occlusion_augmentation=False, padding=True)
+    a, b = ds_plain[0], ds_pad[0]
+    K = b["other"]["K"]
+    kp3 = b["other"]["keypoints_3d"]
+    proj = (K @ kp3.T).T
+    proj = proj[:, :2] / proj[:, 2:3]
+    np.testing.assert_allclose(proj, b["other"]["keypoints_2d"], atol=1e-2)
+    span = lambda s: np.ptp(s["other"]["keypoints_2d"], axis=0).max()
+    assert span(b) < span(a)  # zoomed out
