@@ -82,8 +82,8 @@ def build_fullnet(cfg) -> FullNet:
 
 def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
     return DreamDataset(
-        padding=bool(cfg.get("padding")),
         path,
+        padding=bool(cfg.get("padding")),
         rootnet_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
         other_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
         color_jitter=cfg.jitter if train else False,

@@ -20,7 +20,6 @@ needed to *read* .pth/.pk files (tools/load_torch_file), not to convert.
 
 from __future__ import annotations
 
-import re
 from typing import Dict, Tuple
 
 import numpy as np
