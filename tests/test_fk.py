@@ -187,3 +187,28 @@ def test_unknown_robot_friendly_error():
         Robot("ur5")
     with pytest.raises(ValueError, match="no built-in description"):
         Robot("owi535")
+
+
+def test_urdf_mesh_scale_and_package_uri(tmp_path):
+    """URDF mesh scale attribute and package:// resolution."""
+    import numpy as np
+    from horopose_tpu.kinematics.meshes import geometry_mesh
+    obj = tmp_path / "meshes" / "part.obj"
+    obj.parent.mkdir()
+    obj.write_text("v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n")
+    urdf = f"""
+    <robot name="m">
+      <link name="a">
+        <visual>
+          <origin xyz="0 0 1" rpy="0 0 0"/>
+          <geometry><mesh filename="package://pkg/meshes/part.obj"
+                          scale="2 2 2"/></geometry>
+        </visual>
+      </link>
+    </robot>"""
+    model = parse_urdf(urdf, base_dir=str(tmp_path))
+    g = model.links["a"].visuals[0]
+    v, f = geometry_mesh(g)
+    assert f.shape == (1, 3)
+    # scaled by 2 and offset by origin z=1
+    np.testing.assert_allclose(v[1], [2, 0, 1], atol=1e-6)
