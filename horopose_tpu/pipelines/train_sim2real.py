@@ -162,6 +162,22 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     train_loader.dataset.return_original_image = True
     steps_per_epoch = max(len(train_loader), 1)
 
+    if not cfg_loaders["test"]:
+        # the real camera sets have no train/test split: validation runs on
+        # the matching real set itself (reference: train_sim2real.py:696-700)
+        from horopose_tpu.data import DataLoader, DreamDataset
+        camera = next((c for c in ("azure", "kinect", "realsense", "orb")
+                       if c in cfg.train_ds_names), "real")
+        eval_ds = DreamDataset(
+            cfg.train_ds_names, color_jitter=False, rgb_augmentation=False,
+            occlusion_augmentation=False,
+            rootnet_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
+            other_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
+            extend_ratio=cfg.extend_ratio)
+        cfg_loaders["test"][camera] = DataLoader(
+            eval_ds, batch_size=cfg.batch_size,
+            num_workers=cfg.n_dataloader_workers, drop_last=False)
+
     model = build_fullnet(cfg)
     tx = make_optimizer(cfg, steps_per_epoch)
     from horopose_tpu.pipelines.train_full import init_fullnet_state
