@@ -117,6 +117,13 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
     time_image = AverageMeter()
     n_images = 0
 
+    profile_ctx = None
+    if cfg.get("profile_dir"):
+        from horopose_tpu.core.profiling import trace
+        profile_ctx = trace(str(cfg.profile_dir))
+        profile_ctx.__enter__()
+        print(f"[test] writing XLA profile to {cfg.profile_dir}")
+
     for bi, batch in enumerate(loader):
         if max_batches and bi >= max_batches:
             break
@@ -161,6 +168,9 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         for i in range(robot.dof):
             metric_l1joint[i].add(m_fk["batch_l1jointerror_avg"][i])
         n_images += bsz
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     summary = summary_add_pck(alldis)
     summary_rel = summary_add_pck(alldis_rel)
