@@ -106,6 +106,10 @@ def get_dataloaders(cfg) -> Dict:
     out: Dict = {"test": {}}
 
     ds_train = _mk_dataset(cfg, train_path, train=True)
+    if len(ds_train) == 0:
+        raise FileNotFoundError(
+            f"no DREAM samples (*.jpg + *.json) found under {train_path!r}; "
+            "set HOROPOSE_DATA_DIR or fix train_ds_names in the config")
     sampler = PartialSampler(ds_train, cfg.epoch_size)
     if cfg.get("resample"):
         # weighted resampling (train_depthnet.py:62-64); weights file is a
