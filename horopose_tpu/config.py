@@ -94,6 +94,11 @@ def make_default_cfg() -> AttrDict:
     cfg.use_sim2real_real = False
     cfg.pretrained_rootnet = None
     cfg.pretrained_weight_on_synth = None
+    # ImageNet backbone init (reference full_net.py:413-415 hardcodes
+    # torchvision/pose-HRNet downloads; here the artifacts are explicit
+    # paths: a tools/convert .msgpack or a raw torch .pth)
+    cfg.backbone_pretrained = None
+    cfg.rootnet_backbone_pretrained = None
     cfg.use_view = False
     cfg.known_joint = False
 
@@ -200,7 +205,8 @@ def make_cfg(config_path: str) -> AttrDict:
         elif k in ("lr", "exponent") or k.endswith("loss_weight"):
             cfg[k] = float(v)
         elif k in ("joint_individual_weights", "pretrained_rootnet",
-                   "pretrained_weight_on_synth"):
+                   "pretrained_weight_on_synth", "backbone_pretrained",
+                   "rootnet_backbone_pretrained"):
             cfg[k] = None if v == "None" else v
         elif k == "extend_ratio":
             cfg[k] = list(v)

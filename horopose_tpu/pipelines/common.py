@@ -80,6 +80,39 @@ def build_fullnet(cfg) -> FullNet:
     )
 
 
+def apply_pretrained_backbone(state, weights_path: str, backbone_name: str,
+                              dst_key: str, tag: str = ""):
+    """Initialize one backbone subtree from pretrained (ImageNet) weights.
+
+    Reference parity: the reg backbone is ALWAYS initialized from ImageNet
+    (full_net.py:413-415 -> Resnet.py:69-92 / HRnet.py:572-603, loaded with
+    strict=False); paper-level accuracy depends on it. Here the artifact is a
+    cfg path (converted .msgpack or raw torch .pth), loaded through
+    tools/torch_weights and grafted leniently under params[dst_key].
+    """
+    from horopose_tpu.tools.torch_weights import (lenient_merge,
+                                                  load_backbone_weights)
+    p_sub, bs_sub = load_backbone_weights(weights_path, backbone_name)
+    params = dict(state.params)
+    if dst_key not in params:
+        raise KeyError(
+            f"no backbone subtree {dst_key!r} in params "
+            f"(have {sorted(params)})")
+    params[dst_key], n_p, skipped_p = lenient_merge(params[dst_key], p_sub)
+    if n_p == 0:
+        raise ValueError(
+            f"pretrained backbone {weights_path!r} matched ZERO leaves of "
+            f"{dst_key!r} — wrong backbone_name or artifact?")
+    bs = dict(state.batch_stats) if state.batch_stats else {}
+    n_b = 0
+    if dst_key in bs and bs_sub:
+        bs[dst_key], n_b, _ = lenient_merge(bs[dst_key], bs_sub)
+    print(f"[pretrained{tag}] {weights_path} -> {dst_key}: "
+          f"{n_p} params + {n_b} batch_stats leaves loaded, "
+          f"{len(skipped_p)} skipped")
+    return state.replace(params=params, batch_stats=bs)
+
+
 def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
     return DreamDataset(
         path,

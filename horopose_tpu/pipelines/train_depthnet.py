@@ -26,7 +26,8 @@ from horopose_tpu.core.engine import (build_depthnet_eval_step,
 from horopose_tpu.core.loggers import AverageMeter, create_logger
 from horopose_tpu.models.depth_net import RootNet
 from horopose_tpu.parallel import make_mesh, shard_batch
-from horopose_tpu.pipelines.common import get_dataloaders, set_seed
+from horopose_tpu.pipelines.common import (apply_pretrained_backbone,
+                                           get_dataloaders, set_seed)
 
 
 def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None):
@@ -49,6 +50,13 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
                            dummy_k, train=False)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = create_train_state(variables, tx)
+    if cfg.get("backbone_pretrained"):
+        # RootNet's backbone submodule is auto-named (ResNet_0 / HRNet_0)
+        dst_key = next(k for k in state.params
+                       if k.startswith(("ResNet", "HRNet")))
+        state = apply_pretrained_backbone(
+            state, cfg.backbone_pretrained, cfg.backbone_name, dst_key,
+            tag="/depthnet")
 
     mesh = None
     if cfg.mesh_shape:

@@ -26,7 +26,8 @@ from horopose_tpu.core.loggers import AverageMeter, create_logger
 from horopose_tpu.core.metrics import (ADD_THRESHOLDS_MM, PCK_THRESHOLDS_PX,
                                        compute_metrics_batch, summary_add_pck)
 from horopose_tpu.parallel import make_mesh, shard_batch
-from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
+from horopose_tpu.pipelines.common import (apply_pretrained_backbone,
+                                           build_fullnet, get_dataloaders,
                                            make_pnp_fn, make_robot,
                                            set_seed)
 
@@ -44,6 +45,16 @@ def init_fullnet_state(cfg, model, tx, rng=None):
     variables = model.init({"params": rng, "dropout": rng}, dummy, dummy, k,
                            K, train=False)
     state = create_train_state(variables, tx)
+    # ImageNet backbone init first (full_net.py:413-415); a stage-1
+    # pretrained_rootnet checkpoint below then overrides rootnet_backbone
+    if cfg.get("backbone_pretrained"):
+        state = apply_pretrained_backbone(
+            state, cfg.backbone_pretrained, cfg.backbone_name,
+            "reg_backbone", tag="/train_full")
+    if cfg.get("rootnet_backbone_pretrained"):
+        state = apply_pretrained_backbone(
+            state, cfg.rootnet_backbone_pretrained,
+            cfg.rootnet_backbone_name, "rootnet_backbone", tag="/train_full")
     if cfg.pretrained_rootnet:
         # cross-stage weight handoff: DepthNet backbone -> rootnet_backbone
         # (reference key remapping at full_net.py:417-430; our module names

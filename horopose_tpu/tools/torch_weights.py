@@ -352,6 +352,60 @@ def convert_ctrnet_seg(sd: Dict[str, np.ndarray]) -> TreeBuilder:
     return tb
 
 
+def lenient_merge(dst: Dict, src: Dict):
+    """strict=False merge (reference semantics: Resnet.py:69-92 and
+    HRnet.py:572-603 load ImageNet state dicts with strict=False): copy every
+    src leaf whose path exists in dst with a matching shape; skip the rest.
+
+    Returns (new_dst, n_loaded, skipped_paths)."""
+    skipped = []
+    n_loaded = [0]
+
+    def rec(d, s, where):
+        out = dict(d)
+        for k, v in s.items():
+            if k not in out:
+                skipped.append(f"{where}/{k}")
+                continue
+            if isinstance(v, dict):
+                if not isinstance(out[k], dict):
+                    skipped.append(f"{where}/{k}")
+                    continue
+                out[k] = rec(out[k], v, f"{where}/{k}")
+            else:
+                ref = np.asarray(out[k])
+                if ref.shape != np.shape(v):
+                    skipped.append(f"{where}/{k}")
+                    continue
+                out[k] = np.asarray(v, dtype=ref.dtype)
+                n_loaded[0] += 1
+        return out
+
+    new_dst = rec(dst, src, "")
+    return new_dst, n_loaded[0], skipped
+
+
+def load_backbone_weights(path: str, backbone_name: str):
+    """Read a backbone weight artifact into (params, batch_stats) subtrees.
+
+    Accepts either a flax msgpack written by tools/convert (a standalone
+    backbone variables tree) or a raw torch .pth/.pt/.pk state dict, which is
+    converted on the fly with convert_resnet/convert_hrnet."""
+    if path.endswith(".msgpack"):
+        from flax import serialization
+        with open(path, "rb") as f:
+            tree = serialization.msgpack_restore(f.read())
+        return tree.get("params", {}), tree.get("batch_stats", {})
+    sd = load_torch_file(path)
+    if backbone_name.startswith("hrnet"):
+        tb = convert_hrnet(sd)
+    else:
+        from horopose_tpu.models.resnet import RESNET_SPECS
+        block, sizes = RESNET_SPECS[backbone_name]
+        tb = convert_resnet(sd, sizes, block == "bottleneck")
+    return tb.params, tb.batch_stats
+
+
 def save_msgpack(variables: Dict, path: str):
     from flax import serialization
     with open(path, "wb") as f:
