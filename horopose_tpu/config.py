@@ -169,6 +169,8 @@ def make_default_cfg() -> AttrDict:
     cfg.fix_mask = False
     cfg.rootnet_depth_loss_weight = 1.0
     cfg.xy_loss_func = "l1"
+    cfg.allow_random_teacher = False  # sim2real hard-fails on a missing
+    #                                   seg teacher unless explicitly allowed
     cfg.mask_loss_func = "mse_mean"
     cfg.mask_loss_weight = 0.0
     cfg.scale_loss_weight = 0.0

@@ -39,6 +39,7 @@ from horopose_tpu.models.common import frozen_batchnorm
 from horopose_tpu.models.deeplab import SegTeacher
 from horopose_tpu.kinematics.meshes import build_robot_mesh
 from horopose_tpu.ops.rasterizer import render_robot_silhouette
+from horopose_tpu.parallel import make_mesh, shard_batch
 from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
                                            make_pnp_fn, make_robot,
                                            set_seed)
@@ -46,9 +47,14 @@ from horopose_tpu.pipelines.train_full import validate_full
 
 
 def load_seg_teacher(cfg, image_hw=(480, 640)) -> SegTeacher:
-    """CtRNet per-camera weights when available (converted via
-    tools/torch_weights.py), else random init with a loud warning —
-    the pipeline stays runnable end-to-end either way."""
+    """CtRNet per-camera weights (converted via tools/torch_weights.py).
+
+    A missing teacher is a HARD error by default: sim2real's only training
+    signal is the teacher's masks (reference loads real per-camera .pth
+    weights unconditionally, mask_inference.py:35-44), so training against a
+    random-init teacher burns the whole budget producing garbage. Set
+    cfg.allow_random_teacher=True to opt into that explicitly (smoke tests).
+    """
     ds = cfg.train_ds_names
     camera = next((c for c in ("azure", "kinect", "realsense", "orb")
                    if c in ds), "azure")
@@ -62,10 +68,17 @@ def load_seg_teacher(cfg, image_hw=(480, 640)) -> SegTeacher:
         teacher.variables = serialization.from_state_dict(
             teacher.variables, payload)
         print(f"[sim2real] loaded segmentation teacher: {path}")
-    else:
+    elif cfg.get("allow_random_teacher"):
         print(f"[sim2real] WARNING: no converted teacher weights at {path}; "
-              "using random teacher (masks are meaningless until you run "
-              "tools/torch_weights.py on the CtRNet .pth files)")
+              "proceeding with a RANDOM teacher because "
+              "allow_random_teacher=True (masks are meaningless)")
+    else:
+        raise FileNotFoundError(
+            f"no segmentation teacher weights at {path}. Convert the CtRNet "
+            f"checkpoint first (python -m horopose_tpu.tools.convert "
+            f"ctrnet_seg {camera}.pth {path}) or set "
+            "allow_random_teacher: True to train against a random teacher "
+            "(debug only — the self-supervised losses would be garbage).")
     return teacher
 
 
@@ -198,6 +211,10 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     eval_step = build_full_eval_step(cfg, model, robot,
                                      pnp_fn=make_pnp_fn(cfg))
 
+    # data-parallel mesh, same knob as train_full/train_depthnet: batch
+    # (incl. the teacher's full-res images) sharded, params replicated by jit
+    mesh = make_mesh(int(np.prod(cfg.mesh_shape))) if cfg.mesh_shape else None
+
     n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
     for epoch in range(n_epochs):
         meters = {t: AverageMeter() for t in
@@ -206,6 +223,8 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
         for batchid, batch in enumerate(train_loader):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
             for t in meters:
@@ -220,7 +239,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
         auc_adds = {}
         for name, loader in cfg_loaders["test"].items():
             auc_adds[name] = validate_full(cfg, robot, eval_step, state,
-                                           loader, writer, epoch, name)
+                                           loader, writer, epoch, name, mesh)
         keeper.maybe_save(auc_adds, state, epoch)
         print(f"[sim2real] epoch {epoch}: loss={meters['loss'].mean:.4f} "
               f"mask={meters['loss_mask'].mean:.4f} auc={auc_adds}")

@@ -96,3 +96,61 @@ def test_mesh_sharded_step_matches_single_device():
     l8 = jax.tree.leaves(state8.params)
     for a, b in zip(l1[:10], l8[:10]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_mesh_sharded_sim2real_step_matches_single_device():
+    """Stage-3 step (rasterizer + frozen seg teacher) under the mesh."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    from horopose_tpu.kinematics.meshes import build_robot_mesh
+    from horopose_tpu.models.deeplab import SegTeacher
+    from horopose_tpu.pipelines.train_sim2real import \
+        build_sim2real_train_step
+
+    cfg, robot, state, _, size = _setup()
+    cfg.mask_loss_weight = 1.0
+    cfg.iou_loss_weight = 1.0
+    cfg.scale_loss_weight = 0.1
+    cfg.align_3d_loss_weight = 1.0
+    # SGD, not Adam: Adam's step-1 update is lr*sign(g), which amplifies
+    # reduction-order float noise on near-zero gradients to a full +-lr flip;
+    # with SGD the 1-vs-8-device parameter delta stays proportional to the
+    # gradient delta, so the tolerance below is meaningful.
+    import optax
+    from horopose_tpu.core.engine import create_train_state
+    tx = optax.sgd(1e-3)
+    state = create_train_state(
+        {"params": state.params, "batch_stats": state.batch_stats}, tx)
+    robot_mesh = build_robot_mesh(
+        robot.model, {n: i for i, n in enumerate(robot.plan.link_names)})
+    img_hw = (120, 160)
+    teacher = SegTeacher.init_random(jax.random.PRNGKey(0), image_hw=img_hw,
+                                     scale=0.25)
+    model = FullNet(robot_type="panda", dof=8, num_keypoints=7,
+                    image_size=size, depth_dim=8,
+                    backbone_name="resnet18",
+                    rootnet_backbone_name="resnet18",
+                    init_pose=tuple(C.initial_joint_vector(
+                        "mean", "panda").tolist()))
+    step = build_sim2real_train_step(cfg, model, robot, robot_mesh, teacher,
+                                     tx, image_hw=img_hw)
+
+    batch_np = _fake_batch(8, size, robot.num_keypoints, robot.dof)
+    batch_np["images_original"] = np.random.RandomState(7).randint(
+        0, 255, (8, img_hw[0], img_hw[1], 3), dtype=np.uint8)
+    rng = jax.random.PRNGKey(2)
+
+    batch1 = jax.tree.map(jnp.asarray, batch_np)
+    state1, logs1 = step(state, batch1, rng)
+
+    mesh = make_mesh(8)
+    state8 = state.replace(params=replicate(state.params, mesh),
+                           batch_stats=replicate(state.batch_stats, mesh),
+                           opt_state=replicate(state.opt_state, mesh))
+    batch8 = shard_batch(batch_np, mesh)
+    state8, logs8 = step(state8, batch8, rng)
+
+    np.testing.assert_allclose(float(logs1["loss"]), float(logs8["loss"]),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(state1.params)[:10],
+                    jax.tree.leaves(state8.params)[:10]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

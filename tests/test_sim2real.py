@@ -59,3 +59,18 @@ def test_seg_teacher_shapes():
     masks = teacher(imgs)
     assert masks.shape == (2, 24, 32)
     assert (np.asarray(masks) >= 0).all() and (np.asarray(masks) <= 1).all()
+
+
+def test_missing_teacher_hard_fails(real_ws, tmp_path, monkeypatch):
+    """A missing seg teacher must abort, not silently train on garbage."""
+    base, train_dir = real_ws
+    monkeypatch.chdir(tmp_path)
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.pipelines.train_sim2real import load_seg_teacher
+    cfg = make_default_cfg()
+    cfg.train_ds_names = str(train_dir)
+    with pytest.raises(FileNotFoundError, match="allow_random_teacher"):
+        load_seg_teacher(cfg)
+    cfg.allow_random_teacher = True
+    teacher = load_seg_teacher(cfg)  # explicit opt-in still works
+    assert teacher is not None
