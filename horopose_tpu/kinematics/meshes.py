@@ -122,10 +122,17 @@ class RobotMesh:
     verts: (V, 3) in each vertex's LINK frame.
     faces: (F, 3) indices into verts.
     vert_link: (V,) index into plan.link_names for each vertex.
+    Provenance (for fidelity checks): how many geometries came from mesh
+    files vs URDF primitives, and which declared mesh files could NOT be
+    loaded (missing on disk / non-OBJ format).
     """
     verts: np.ndarray
     faces: np.ndarray
     vert_link: np.ndarray
+    n_file_geoms: int = 0
+    n_primitive_geoms: int = 0
+    missing_meshes: Tuple[str, ...] = ()
+    unsupported_meshes: Tuple[str, ...] = ()
 
     @property
     def num_faces(self) -> int:
@@ -136,14 +143,26 @@ def build_robot_mesh(model: URDFModel, link_index: Dict[str, int],
                      which: str = "visual") -> RobotMesh:
     all_v, all_f, all_l = [], [], []
     offset = 0
+    n_file = n_prim = 0
+    missing: List[str] = []
+    unsupported: List[str] = []
     for name, link in model.links.items():
         if name not in link_index:
             continue
         geoms = link.visuals if which == "visual" else link.collisions
         for g in geoms:
+            if g.mesh_path is not None:
+                if not os.path.exists(g.mesh_path):
+                    missing.append(g.mesh_path)
+                elif os.path.splitext(g.mesh_path)[1].lower() != ".obj":
+                    unsupported.append(g.mesh_path)
             vf = geometry_mesh(g)
             if vf is None:
                 continue
+            if g.mesh_path is not None:
+                n_file += 1
+            else:
+                n_prim += 1
             v, f = vf
             all_v.append(v)
             all_f.append(f + offset)
@@ -152,4 +171,36 @@ def build_robot_mesh(model: URDFModel, link_index: Dict[str, int],
     assert all_v, "robot has no renderable geometry"
     return RobotMesh(verts=np.concatenate(all_v),
                      faces=np.concatenate(all_f),
-                     vert_link=np.concatenate(all_l))
+                     vert_link=np.concatenate(all_l),
+                     n_file_geoms=n_file, n_primitive_geoms=n_prim,
+                     missing_meshes=tuple(missing),
+                     unsupported_meshes=tuple(unsupported))
+
+
+def check_mesh_fidelity(robot_mesh: RobotMesh, context: str = "render"):
+    """Fail loudly when the URDF's declared link meshes could not be loaded.
+
+    The reference rasterizes the actual per-link OBJ meshes
+    (mesh_renderer.py:94-140); silently substituting primitives for declared
+    mesh files would corrupt the sim2real mask signal. Primitive-only URDFs
+    (the built-in descriptions) render with a warning instead — drop the
+    official description packages under data/deps for mesh-accurate
+    silhouettes.
+    """
+    problems = []
+    if robot_mesh.missing_meshes:
+        problems.append("missing mesh files: " +
+                        ", ".join(robot_mesh.missing_meshes))
+    if robot_mesh.unsupported_meshes:
+        problems.append("unsupported (non-OBJ) mesh files: " +
+                        ", ".join(robot_mesh.unsupported_meshes) +
+                        " — convert to .obj")
+    if problems:
+        raise RuntimeError(
+            f"[{context}] URDF declares link meshes that cannot be "
+            f"rasterized: {'; '.join(problems)}")
+    if robot_mesh.n_file_geoms == 0:
+        print(f"[{context}] WARNING: rendering URDF primitive geometry "
+              f"({robot_mesh.n_primitive_geoms} shapes) — for mesh-accurate "
+              "silhouettes drop the official robot description (with .obj "
+              "meshes) under data/deps/")

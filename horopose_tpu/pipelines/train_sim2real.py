@@ -37,7 +37,8 @@ from horopose_tpu.core.engine import (TrainState, build_full_eval_step,
 from horopose_tpu.core.loggers import AverageMeter, create_logger
 from horopose_tpu.models.common import frozen_batchnorm
 from horopose_tpu.models.deeplab import SegTeacher
-from horopose_tpu.kinematics.meshes import build_robot_mesh
+from horopose_tpu.kinematics.meshes import (build_robot_mesh,
+                                            check_mesh_fidelity)
 from horopose_tpu.ops.rasterizer import render_robot_silhouette
 from horopose_tpu.parallel import make_mesh, shard_batch
 from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
@@ -168,6 +169,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     robot = make_robot(cfg)
     robot_mesh = build_robot_mesh(
         robot.model, {n: i for i, n in enumerate(robot.plan.link_names)})
+    check_mesh_fidelity(robot_mesh, context="sim2real")
 
     # real-set loaders need the original full image for the teacher
     cfg_loaders = get_dataloaders(cfg)
