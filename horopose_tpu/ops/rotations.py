@@ -67,9 +67,40 @@ def quat_xyzw_to_rotmat_dream(quat_xyzw: jnp.ndarray) -> jnp.ndarray:
 def rotmat_to_quat(matrix: jnp.ndarray) -> jnp.ndarray:
     """Rotation matrix (..., 3, 3) -> quaternion (..., 4) (w, x, y, z).
 
-    Uses the trace branch only (as the reference does); adequate away from the
-    w ~ 0 singular set, with a floor to stay finite.
+    Branchless Shepperd form: build all four branch candidates (each equal to
+    4*q_i * q up to scale), pick the one keyed by the largest squared
+    component, normalize, and standardize to w >= 0. Unlike the reference's
+    trace-only formula (geometries.py:21-45), this stays accurate in the
+    w ~ 0 regime (rotations near 180 deg), where the trace branch divides by
+    a vanishing w. The legacy behavior is kept as rotmat_to_quat_trace.
     """
+    m = matrix
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    tw = 1.0 + m00 + m11 + m22          # = 4w^2
+    tx = 1.0 + m00 - m11 - m22          # = 4x^2
+    ty = 1.0 - m00 + m11 - m22          # = 4y^2
+    tz = 1.0 - m00 - m11 + m22          # = 4z^2
+    # candidate rows: 4*q_branch * (w, x, y, z)
+    cand = jnp.stack([
+        jnp.stack([tw, m21 - m12, m02 - m20, m10 - m01], -1),
+        jnp.stack([m21 - m12, tx, m01 + m10, m02 + m20], -1),
+        jnp.stack([m02 - m20, m01 + m10, ty, m12 + m21], -1),
+        jnp.stack([m10 - m01, m02 + m20, m12 + m21, tz], -1),
+    ], axis=-2)                                           # (..., 4, 4)
+    scores = jnp.stack([tw, tx, ty, tz], -1)              # (..., 4)
+    best = jnp.argmax(scores, axis=-1)
+    q = jnp.take_along_axis(cand, best[..., None, None].repeat(4, -1),
+                            axis=-2)[..., 0, :]
+    q = normalize_vector(q)
+    sign = jnp.where(q[..., :1] < 0, -1.0, 1.0)           # w >= 0 convention
+    return q * sign
+
+
+def rotmat_to_quat_trace(matrix: jnp.ndarray) -> jnp.ndarray:
+    """The reference's trace-branch-only conversion (geometries.py:21-45):
+    wrong near 180 deg rotations, kept for exact-parity comparisons."""
     m = matrix
     tr = m[..., 0, 0] + m[..., 1, 1] + m[..., 2, 2]
     w = jnp.sqrt(jnp.maximum(1.0 + tr, 0.0)) / 2.0

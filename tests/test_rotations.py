@@ -130,3 +130,32 @@ def test_rot_dispatch_roundtrip(rng, dim):
     assert rep.shape == (8, dim)
     back = np.asarray(R.rot_to_rotmat(rep))
     np.testing.assert_allclose(back, mats, atol=2e-3)
+
+
+def test_rotmat_to_quat_near_180(rng):
+    """Property test over near-180-degree rotations: the 4-branch form must
+    round-trip where the reference's trace-only branch breaks down."""
+    import numpy as np
+    axes = rng.randn(64, 3)
+    axes /= np.linalg.norm(axes, axis=1, keepdims=True)
+    angles = np.pi - rng.uniform(0, 1e-3, 64)     # w ~ 0 regime
+    aa = axes * angles[:, None]
+    mats = R.axis_angle_to_rotmat(jnp.asarray(aa, jnp.float32))
+    quat = R.rotmat_to_quat(mats)
+    back = R.quat_to_rotmat(quat)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(mats), atol=2e-5)
+    assert np.all(np.asarray(quat)[:, 0] >= 0)    # w >= 0 convention
+    # the trace-only branch is demonstrably worse here (that's WHY we fixed it)
+    quat_tr = R.rotmat_to_quat_trace(mats)
+    back_tr = np.asarray(R.quat_to_rotmat(quat_tr))
+    err_new = np.abs(np.asarray(back) - np.asarray(mats)).max()
+    err_tr = np.abs(back_tr - np.asarray(mats)).max()
+    assert err_new < err_tr
+
+
+def test_rotmat_to_quat_random_rotations(rng):
+    import numpy as np
+    aa = rng.randn(256, 3).astype(np.float32)
+    mats = R.axis_angle_to_rotmat(jnp.asarray(aa))
+    back = R.quat_to_rotmat(R.rotmat_to_quat(mats))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(mats), atol=1e-5)
