@@ -6,11 +6,15 @@ chosen DREAM test set, write `result/summary.txt` with ~25 named metrics
 plus runtimes/FPS, and the ADD distribution curve data.
 
 Timing, TPU-native: instead of in-model stopwatches with CUDA-stream syncs
-(full_net.py:253-392), the whole-forward latency is measured with
-block_until_ready around the jitted step (steady state, compile excluded).
-The reference's "FPS_parallel" models its two backbone branches overlapping;
-under XLA the branches are independent subgraphs already scheduled together,
-so whole-forward FPS is the honest number and is reported for both fields.
+(full_net.py:253-392), the whole-forward latency is measured exactly like
+bench.py — iterations chained on device inside one jit, synchronized by a
+scalar host transfer (steady state, compile excluded) — so summary.txt FPS
+and bench.py agree on the same hardware/batch. The eval loop's wall time
+(device->host prediction transfer + host-side metrics) is reported as a
+separate line. The reference's "FPS_parallel" models its two backbone
+branches overlapping; under XLA the branches are independent subgraphs
+already scheduled together, so whole-forward FPS is the honest number and
+is reported for both fields.
 """
 
 from __future__ import annotations
@@ -74,6 +78,43 @@ def visualize_extremes(cfg, robot, eval_step, state, ds, dis3d, image_ids,
                       n_samples=n_valid)
 
 
+def measure_forward_fps(model, robot, state, cfg, batch_size: int,
+                        iters: int = 10) -> float:
+    """Per-image forward latency (seconds), bench.py methodology: `iters`
+    full inference forwards (both backbones + integral + heads + FK lift)
+    chained ON DEVICE inside one jit — each iteration's input depends on the
+    previous output so XLA cannot reorder or elide them — synchronized by a
+    host transfer of the scalar result. This excludes host->device transfer
+    of predictions and metric computation, which the old in-loop timing
+    included (it under-reported FPS vs bench.py by the full transfer cost);
+    those are reported separately in summary.txt.
+    """
+    import jax.numpy as jnp
+    size = int(cfg.image_size)
+    x = jnp.zeros((batch_size, size, size, 3), jnp.float32)
+    k = jnp.full((batch_size,), 1500.0, jnp.float32)
+    K = jnp.broadcast_to(
+        jnp.asarray([[320.0, 0, size / 2], [0, 320.0, size / 2], [0, 0, 1]],
+                    jnp.float32), (batch_size, 3, 3))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    ref = int(cfg.reference_keypoint_id)
+
+    @jax.jit
+    def chained(v, x0):
+        def body(c, _):
+            out = model.apply(v, c, c, k, K, train=False)
+            fk = robot.get_keypoints_root(out["pose"], out["rot"],
+                                          out["trans"], root=ref)
+            return c + fk.mean().astype(c.dtype) * 1e-9, ()
+        c, _ = jax.lax.scan(body, x0, None, length=iters)
+        return c.mean()
+
+    np.asarray(chained(variables, x))          # compile + warmup
+    t0 = time.perf_counter()
+    np.asarray(chained(variables, x))
+    return (time.perf_counter() - t0) / iters / batch_size
+
+
 def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
                  batch_size: int = 128, max_batches: int = None,
                  visualization: bool = False):
@@ -92,12 +133,27 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
                            jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
                            jnp.eye(3)[None], train=False)
     state = create_train_state(variables, tx)
-    ckpt_path = os.path.join(cfg.exp_path, "ckpt", ckpt_name)
+    # --ckpt accepts a name under <exp_path>/ckpt OR a direct path — e.g. a
+    # reference model-zoo checkpoint converted with
+    # `python -m horopose_tpu.tools.convert fullnet <ref.pk> <out.pk>`
+    # (convert_fullnet_reference_checkpoint), which carries only
+    # params/batch_stats, no optimizer state.
+    ckpt_path = ckpt_name if os.path.exists(ckpt_name) else \
+        os.path.join(cfg.exp_path, "ckpt", ckpt_name)
     ckpt_epoch = -1
     if os.path.exists(ckpt_path):
         payload = load_checkpoint_file(ckpt_path)
-        state = restore_state(state, payload)
-        ckpt_epoch = int(payload["epoch"])
+        if "opt_state" in payload:
+            state = restore_state(state, payload)
+        else:  # converted weights-only artifact
+            from flax import serialization
+            state = state.replace(
+                params=serialization.from_state_dict(state.params,
+                                                     payload["params"]),
+                batch_stats=serialization.from_state_dict(
+                    state.batch_stats, payload.get("batch_stats", {})))
+            print(f"[test] loaded weights-only checkpoint {ckpt_path}")
+        ckpt_epoch = int(payload.get("epoch", -1))
     else:
         print(f"[test] WARNING: checkpoint {ckpt_path} not found, "
               "evaluating random init")
@@ -114,7 +170,7 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
     alldis = defaultdict(list)
     alldis_rel = defaultdict(list)
     metric_l1joint = [AverageMeter() for _ in range(robot.dof)]
-    time_image = AverageMeter()
+    time_loop = AverageMeter()  # wall time incl. transfers + host metrics
     n_images = 0
 
     profile_ctx = None
@@ -132,9 +188,6 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         t0 = time.time()
         preds, gts, logs = eval_step(state, batch)
         preds = {k: np.asarray(v) for k, v in preds.items()}
-        t1 = time.time()
-        if bi > 0:  # exclude compile
-            time_image.add((t1 - t0) / batch_size, n=batch_size)
         gts = {k: np.asarray(v) for k, v in gts.items()}
         K_orig = np.asarray(batch["K_original"], np.float32)
         kp2d_orig = np.asarray(batch["keypoints_2d_original"], np.float32)
@@ -168,6 +221,8 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         for i in range(robot.dof):
             metric_l1joint[i].add(m_fk["batch_l1jointerror_avg"][i])
         n_images += bsz
+        if bi > 0:  # exclude compile
+            time_loop.add((time.time() - t0) / batch_size, n=batch_size)
 
     if profile_ctx is not None:
         profile_ctx.__exit__(None, None, None)
@@ -178,7 +233,11 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
     mean_depth_error = float(np.mean(alldis["deptherror"]))
     mean_rot_error = float(np.mean(alldis["mean_rot_angle"]) / np.pi * 180.0)
     rel_depth_error = float(np.mean(alldis["deptherror_relative"]))
-    fps = 1.0 / time_image.mean if time_image.mean > 0 else 0.0
+    # device-only forward latency, same methodology as bench.py (the two
+    # numbers agree on the same hardware/batch); the loop time above is the
+    # end-to-end wall cost incl. prediction transfer + host metrics
+    time_forward = measure_forward_fps(model, robot, state, cfg, batch_size)
+    fps = 1.0 / time_forward if time_forward > 0 else 0.0
 
     lines = [
         "Model metrics summary",
@@ -205,7 +264,9 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
                      f"{metric_l1joint[i].mean / np.pi * 180.0}")
     lines += [
         "Runtimes:",
-        f"Runtime of all: {time_image.mean}",
+        f"Runtime of all: {time_forward}",
+        f"Runtime of eval loop per image (incl. device->host transfer + "
+        f"host metrics): {time_loop.mean}",
         f"FPS_parallel: {int(fps)}",
         f"FPS: {int(fps)}",
         "",
