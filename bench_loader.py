@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Input-pipeline throughput benchmark (host-side, no TPU).
+
+At the flagship training rate (~400 img/s/chip bf16) the DREAM loader must
+sustain the same rate of jpg decode + double crop + augmentation per chip
+(SURVEY.md section 7 hard-part 6: the reference's PIL pipeline is the
+bottleneck at scale). This bench measures images/sec through the real
+DataLoader over a fabricated DREAM directory (640x480 jpgs, the real
+format) across worker counts, thread vs process pools, and the native C++
+fused crop on/off.
+
+Usage: python bench_loader.py [--images 64] [--batch 32] [--seconds 8]
+Prints one JSON line per configuration plus a summary line.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                "tests"))
+
+
+def measure(ds, batch_size, num_workers, use_processes, seconds):
+    from horopose_tpu.data import DataLoader
+    loader = DataLoader(ds, batch_size=batch_size, num_workers=num_workers,
+                        drop_last=True, use_processes=use_processes)
+    # warmup one epoch pass to populate caches / spawn pools
+    for _ in loader:
+        break
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < seconds:
+        for batch in loader:
+            n += batch["TCO"].shape[0]
+            if time.perf_counter() - t0 >= seconds:
+                break
+    dt = time.perf_counter() - t0
+    loader.close()
+    return n / dt
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", type=int, default=64)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seconds", type=float, default=8.0)
+    p.add_argument("--workers", type=int, nargs="+", default=None)
+    args = p.parse_args()
+
+    n_cpus = os.cpu_count() or 1
+    workers = args.workers or sorted({1, 2, min(4, n_cpus), n_cpus})
+
+    from fixtures import make_synthetic_dream_dataset
+    from horopose_tpu.data import DreamDataset
+
+    tmp = tempfile.mkdtemp(prefix="bench_loader_")
+    train_dir = make_synthetic_dream_dataset(
+        os.path.join(tmp, "dream"), "panda", n_images=args.images,
+        split="train_dr", seed=0)
+
+    results = []
+    for disable_native in (False, True):
+        os.environ.pop("HOROPOSE_DISABLE_NATIVE", None)
+        if disable_native:
+            os.environ["HOROPOSE_DISABLE_NATIVE"] = "1"
+        ds = DreamDataset(train_dir, color_jitter=True,
+                          rgb_augmentation=True,
+                          occlusion_augmentation=True,
+                          rootnet_resize_hw=(256, 256),
+                          other_resize_hw=(256, 256))
+        for use_processes in (False, True):
+            for nw in workers:
+                try:
+                    ips = measure(ds, args.batch, nw, use_processes,
+                                  args.seconds)
+                except Exception as e:
+                    print(f"# FAILED workers={nw} proc={use_processes} "
+                          f"native={not disable_native}: {e}",
+                          file=sys.stderr)
+                    continue
+                rec = dict(metric="loader_throughput", value=round(ips, 1),
+                           unit="images/sec", workers=nw,
+                           pool="process" if use_processes else "thread",
+                           native_crop=not disable_native, n_cpus=n_cpus)
+                results.append(rec)
+                print(json.dumps(rec), flush=True)
+    os.environ.pop("HOROPOSE_DISABLE_NATIVE", None)
+    if results:
+        best = max(results, key=lambda r: r["value"])
+        print(json.dumps(dict(metric="loader_throughput_best",
+                              value=best["value"], unit="images/sec",
+                              config={k: best[k] for k in
+                                      ("workers", "pool", "native_crop")},
+                              n_cpus=n_cpus,
+                              sustains_train_rate=best["value"] >= 400.0)))
+
+
+if __name__ == "__main__":
+    main()

@@ -53,9 +53,12 @@ def skeleton_3d(ax, kp3d: np.ndarray, color="tab:blue", label=None):
 def vis_joints_3d(images: np.ndarray, pred_kp3d: np.ndarray,
                   gt_kp3d: np.ndarray, pred_kp2d: np.ndarray,
                   gt_kp2d: np.ndarray, save_path: str,
-                  n_samples: int = 4, views=(0, 60, 120, 240)):
-    """Grid figure: image + 2D overlay + rotating 3D skeleton views per
-    sample (vis.py:40-368)."""
+                  n_samples: int = 4, views=(-70, -40, 0, 20, 50),
+                  errors=None):
+    """Grid figure: image + 2D overlay + rotating multi-azimuth 3D skeleton
+    views per sample. The azimuth sweep and the per-sample ADD error in the
+    title match the reference grid (vis.py:40-368: elev=12, azim -70..50,
+    'error/ADD: ...m, (prediction: blue, gt: red)')."""
     plt = _plt()
     if plt is None:
         return
@@ -65,13 +68,17 @@ def vis_joints_3d(images: np.ndarray, pred_kp3d: np.ndarray,
     for i in range(n):
         ax = fig.add_subplot(n, cols, i * cols + 1)
         overlay_keypoints_2d(ax, images[i], pred_kp2d[i], gt_kp2d=gt_kp2d[i])
-        ax.set_title(f"sample {i}: pred(circle) vs gt(x)")
+        title = f"sample {i}: pred(circle) vs gt(x)"
+        if errors is not None:
+            title = f"error/ADD: {errors[i]:0.5f}m, " \
+                    "(prediction: blue, gt: red)"
+        ax.set_title(title)
         for v, azim in enumerate(views):
             ax3 = fig.add_subplot(n, cols, i * cols + 2 + v,
                                   projection="3d")
             skeleton_3d(ax3, pred_kp3d[i], color="tab:blue", label="pred")
             skeleton_3d(ax3, gt_kp3d[i], color="tab:red", label="gt")
-            ax3.view_init(elev=15, azim=azim)
+            ax3.view_init(elev=12, azim=azim)
             if v == 0:
                 ax3.legend(loc="upper right", fontsize=7)
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)

@@ -37,6 +37,8 @@ def _build() -> bool:
 
 def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _tried
+    if os.environ.get("HOROPOSE_DISABLE_NATIVE"):
+        return None  # benchmarking / debugging knob: force the PIL fallback
     with _lock:
         if _lib is not None or _tried:
             return _lib

@@ -75,7 +75,8 @@ def visualize_extremes(cfg, robot, eval_step, state, ds, dis3d, image_ids,
         images = np.asarray(batch["other"]["images"])[:n_valid]
         vis_joints_3d(images, kp3_pred, kp3_gt, kp2_pred, kp2_gt,
                       os.path.join(result_path, f"vis_{tag}_cases.jpg"),
-                      n_samples=n_valid)
+                      n_samples=n_valid,
+                      errors=[float(dis3d[i]) for i in ids])
 
 
 def measure_forward_fps(model, robot, state, cfg, batch_size: int,
