@@ -16,6 +16,7 @@ params stay replicated and XLA inserts the psum for grads.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
@@ -291,9 +292,18 @@ def _forward(cfg, model, robot, params, batch_stats, batch, gts, train: bool,
 
 def build_full_train_step(cfg, model, robot, tx,
                           pnp_fn: Optional[Callable] = None):
-    """Returns jitted step(state, batch, rng) -> (state, logs)."""
+    """Returns jitted step(state, batch, rng) -> (state, logs).
 
-    @jax.jit
+    The TrainState is donated: params + Adam moments (~600 MB at the
+    resnet50+hrnet32 flagship) alias in place instead of allocating fresh
+    buffers every step. Callers must rebind (`state, logs = step(state, ...)`)
+    and never read the old state object afterwards — every pipeline already
+    does. Donation is honored on CPU too (reading a stale state raises
+    "Array has been deleted"), so tests comparing two states must build
+    both BEFORE stepping either.
+    """
+
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         gts = prepare_gt(cfg, robot, batch, pnp_fn)
 
@@ -369,7 +379,8 @@ def _depthnet_forward_loss(cfg, model, params, batch_stats, batch, gts,
 
 
 def build_depthnet_train_step(cfg, model, tx):
-    @jax.jit
+    # state donated (see build_full_train_step); callers rebind per step
+    @partial(jax.jit, donate_argnums=(0,))
     def step(state: TrainState, batch, rng):
         gts = prepare_depth_gt(cfg, batch)
 

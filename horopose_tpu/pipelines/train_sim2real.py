@@ -157,9 +157,11 @@ def build_sim2real_train_step(cfg, model, robot, robot_mesh, seg_teacher, tx,
                                   batch_stats=new_bs, opt_state=new_opt)
         return new_state, dict(loss=loss, **loss_dict)
 
-    # BN frozen is baked in at trace time (first call compiles)
+    # BN frozen is baked in at trace time (first call compiles).
+    # State donated like the supervised steps (engine.py): callers rebind
+    # and must not read the old state after the call.
     with frozen_batchnorm():
-        return jax.jit(_step)
+        return jax.jit(_step, donate_argnums=(0,))
 
 
 def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,

@@ -77,16 +77,21 @@ def test_mesh_sharded_step_matches_single_device():
     batch_np = _fake_batch(8, size, robot.num_keypoints, robot.dof)
     rng = jax.random.PRNGKey(1)
 
-    # single device
-    batch1 = jax.tree.map(jnp.asarray, batch_np)
-    state1, logs1 = step(state, batch1, rng)
-
-    # 8-device data mesh
+    # The train step donates its input state, and the replicated state8's
+    # device-0 shards alias state's buffers (device_put does not copy when
+    # source and target shard layouts match) — so the single-device branch
+    # gets a genuine deep copy and `state` itself is never donated.
     mesh = make_mesh(8)
-    state8 = state.replace(params=replicate(state.params, mesh),
+    state8 = state.replace(step=replicate(state.step, mesh),
+                           params=replicate(state.params, mesh),
                            batch_stats=replicate(state.batch_stats, mesh),
                            opt_state=replicate(state.opt_state, mesh))
     batch8 = shard_batch(batch_np, mesh)
+
+    # single device
+    batch1 = jax.tree.map(jnp.asarray, batch_np)
+    state1_in = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+    state1, logs1 = step(state1_in, batch1, rng)
     state8, logs8 = step(state8, batch8, rng)
 
     np.testing.assert_allclose(float(logs1["loss"]), float(logs8["loss"]),
@@ -139,14 +144,18 @@ def test_mesh_sharded_sim2real_step_matches_single_device():
         0, 255, (8, img_hw[0], img_hw[1], 3), dtype=np.uint8)
     rng = jax.random.PRNGKey(2)
 
-    batch1 = jax.tree.map(jnp.asarray, batch_np)
-    state1, logs1 = step(state, batch1, rng)
-
+    # donated step + aliasing replicate: deep-copy the single-device input
+    # (see test_mesh_sharded_step_matches_single_device)
     mesh = make_mesh(8)
-    state8 = state.replace(params=replicate(state.params, mesh),
+    state8 = state.replace(step=replicate(state.step, mesh),
+                           params=replicate(state.params, mesh),
                            batch_stats=replicate(state.batch_stats, mesh),
                            opt_state=replicate(state.opt_state, mesh))
     batch8 = shard_batch(batch_np, mesh)
+
+    batch1 = jax.tree.map(jnp.asarray, batch_np)
+    state1_in = jax.tree.map(lambda x: jnp.array(x, copy=True), state)
+    state1, logs1 = step(state1_in, batch1, rng)
     state8, logs8 = step(state8, batch8, rng)
 
     np.testing.assert_allclose(float(logs1["loss"]), float(logs8["loss"]),
