@@ -64,38 +64,47 @@ def main():
         split="train_dr", seed=0)
 
     results = []
-    for disable_native in (False, True):
-        os.environ.pop("HOROPOSE_DISABLE_NATIVE", None)
-        if disable_native:
-            os.environ["HOROPOSE_DISABLE_NATIVE"] = "1"
-        ds = DreamDataset(train_dir, color_jitter=True,
-                          rgb_augmentation=True,
-                          occlusion_augmentation=True,
-                          rootnet_resize_hw=(256, 256),
-                          other_resize_hw=(256, 256))
-        for use_processes in (False, True):
-            for nw in workers:
-                try:
-                    ips = measure(ds, args.batch, nw, use_processes,
-                                  args.seconds)
-                except Exception as e:
-                    print(f"# FAILED workers={nw} proc={use_processes} "
-                          f"native={not disable_native}: {e}",
-                          file=sys.stderr)
-                    continue
-                rec = dict(metric="loader_throughput", value=round(ips, 1),
-                           unit="images/sec", workers=nw,
-                           pool="process" if use_processes else "thread",
-                           native_crop=not disable_native, n_cpus=n_cpus)
-                results.append(rec)
-                print(json.dumps(rec), flush=True)
+    for decode_cache in (False, True):
+        cache_dir = os.path.join(tmp, "decode_cache") if decode_cache else None
+        for disable_native in (False, True):
+            os.environ.pop("HOROPOSE_DISABLE_NATIVE", None)
+            if disable_native:
+                os.environ["HOROPOSE_DISABLE_NATIVE"] = "1"
+            ds = DreamDataset(train_dir, color_jitter=True,
+                              rgb_augmentation=True,
+                              occlusion_augmentation=True,
+                              rootnet_resize_hw=(256, 256),
+                              other_resize_hw=(256, 256),
+                              decode_cache_dir=cache_dir)
+            if decode_cache:
+                for i in range(len(ds)):  # pre-fill: measure the hit path
+                    ds[i]
+            for use_processes in (False, True):
+                for nw in workers:
+                    try:
+                        ips = measure(ds, args.batch, nw, use_processes,
+                                      args.seconds)
+                    except Exception as e:
+                        print(f"# FAILED workers={nw} proc={use_processes} "
+                              f"native={not disable_native}: {e}",
+                              file=sys.stderr)
+                        continue
+                    rec = dict(metric="loader_throughput",
+                               value=round(ips, 1),
+                               unit="images/sec", workers=nw,
+                               pool="process" if use_processes else "thread",
+                               native_crop=not disable_native,
+                               decode_cache=decode_cache, n_cpus=n_cpus)
+                    results.append(rec)
+                    print(json.dumps(rec), flush=True)
     os.environ.pop("HOROPOSE_DISABLE_NATIVE", None)
     if results:
         best = max(results, key=lambda r: r["value"])
         print(json.dumps(dict(metric="loader_throughput_best",
                               value=best["value"], unit="images/sec",
                               config={k: best[k] for k in
-                                      ("workers", "pool", "native_crop")},
+                                      ("workers", "pool", "native_crop",
+                                       "decode_cache")},
                               n_cpus=n_cpus,
                               sustains_train_rate=best["value"] >= 400.0)))
 

@@ -186,6 +186,10 @@ def make_default_cfg() -> AttrDict:
     cfg.debug_nans = False         # jax NaN tripwire (reference keeps torch
     #                                anomaly detection always-on)
     cfg.profile_dir = None         # write an XLA profiler trace here
+    cfg.decode_cache = False       # memmap decoded-jpg cache (data/cache.py):
+    #                                epoch 1 fills, later epochs skip decode
+    cfg.decode_cache_dir = ""      # cache root; "" = HOROPOSE_CACHE_DIR env
+    #                                or <dataset_dir>/.decode_cache
     return cfg
 
 

@@ -91,7 +91,8 @@ class DreamDataset:
                  truncation_padding=(120, 120, 120, 120),
                  padding=False,
                  padding_pixel=30,
-                 return_original_image=False):
+                 return_original_image=False,
+                 decode_cache_dir=None):
         self.base_dir = Path(base_dir)
         self.ds_name = os.path.basename(str(base_dir))
         self.rootnet_resize_hw = tuple(rootnet_resize_hw)
@@ -110,6 +111,16 @@ class DreamDataset:
         self.return_original_image = return_original_image
 
         self.frame_index = build_frame_index(self.base_dir)
+        # decoded-jpg memmap cache (data/cache.py): epoch 1 fills it, later
+        # epochs skip PIL decode entirely. None = off (the default).
+        self.decode_cache = None
+        if decode_cache_dir:
+            from horopose_tpu.data.cache import DecodedImageCache
+            try:
+                self.decode_cache = DecodedImageCache(
+                    decode_cache_dir, len(self.frame_index))
+            except OSError as e:
+                print(f"[data] decode cache disabled ({e})")
         s = str(base_dir)
         if "panda" in s:
             self.label = "panda"
@@ -223,7 +234,11 @@ class DreamDataset:
     def __getitem__(self, idx: int) -> Dict:
         row = self.frame_index[idx]
         rgb_path = Path(row["rgb_path"])
-        rgb = np.asarray(Image.open(rgb_path).convert("RGB"))
+        rgb = self.decode_cache.get(idx) if self.decode_cache else None
+        if rgb is None:
+            rgb = np.asarray(Image.open(rgb_path).convert("RGB"))
+            if self.decode_cache is not None:
+                self.decode_cache.put(idx, rgb)
         h, w = rgb.shape[:2]
         ann = json.loads(
             rgb_path.with_suffix("").with_suffix(".json").read_text())

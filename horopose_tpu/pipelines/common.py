@@ -113,9 +113,23 @@ def apply_pretrained_backbone(state, weights_path: str, backbone_name: str,
     return state.replace(params=params, batch_stats=bs)
 
 
+def _resolve_cache_dir(cfg, path) -> str:
+    """Per-dataset decode-cache directory (cache contents depend only on
+    the jpgs, so the key is just the dataset's name)."""
+    if not cfg.get("decode_cache"):
+        return ""
+    root = str(cfg.get("decode_cache_dir") or
+               os.environ.get("HOROPOSE_CACHE_DIR") or
+               os.path.join(str(path), ".decode_cache"))
+    if os.path.abspath(root).startswith(os.path.abspath(str(path))):
+        return root  # already inside the dataset dir: no name needed
+    return os.path.join(root, os.path.basename(os.path.normpath(str(path))))
+
+
 def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
     return DreamDataset(
         path,
+        decode_cache_dir=_resolve_cache_dir(cfg, path),
         padding=bool(cfg.get("padding")),
         rootnet_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
         other_resize_hw=(int(cfg.image_size), int(cfg.image_size)),

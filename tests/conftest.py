@@ -24,6 +24,11 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running regression (minutes, not seconds)")
+
+
 @pytest.fixture
 def rng():
     return np.random.RandomState(808)

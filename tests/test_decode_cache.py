@@ -1,0 +1,106 @@
+"""Decoded-jpg memmap cache (horopose_tpu/data/cache.py).
+
+The cache must be exact (hit == decode), survive worker processes, bypass
+odd-sized images per item, and actually skip the decode on hit (proved by
+deleting the jpgs after the fill pass).
+"""
+
+import os
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from fixtures import make_synthetic_dream_dataset
+from horopose_tpu.data import DataLoader, DreamDataset
+from horopose_tpu.data.cache import DecodedImageCache
+
+KW = dict(color_jitter=False, rgb_augmentation=False,
+          occlusion_augmentation=False, rootnet_resize_hw=(64, 64),
+          other_resize_hw=(64, 64))
+
+
+@pytest.fixture(scope="module")
+def ds_dir(tmp_path_factory):
+    return make_synthetic_dream_dataset(
+        tmp_path_factory.mktemp("dc") / "dream", "panda", n_images=5,
+        split="train_dr", seed=3)
+
+
+def _tree_equal(a, b):
+    assert a.keys() == b.keys()
+    for k in a:
+        if isinstance(a[k], dict):
+            _tree_equal(a[k], b[k])
+        else:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_cache_hit_equals_decode(ds_dir, tmp_path):
+    plain = DreamDataset(ds_dir, **KW)
+    cached = DreamDataset(ds_dir, decode_cache_dir=tmp_path / "c", **KW)
+    for i in range(len(plain)):
+        _tree_equal(plain[i], cached[i])          # fill pass
+    assert cached.decode_cache.complete
+    for i in range(len(plain)):
+        _tree_equal(plain[i], cached[i])          # hit pass
+
+
+def test_cache_hit_skips_decode(ds_dir, tmp_path):
+    """After the fill pass the jpgs are not needed anymore."""
+    work = tmp_path / "panda_synth_train_dr"
+    shutil.copytree(ds_dir, work)
+    cache = tmp_path / "cache"
+    ds = DreamDataset(work, decode_cache_dir=cache, **KW)
+    ref = [ds[i] for i in range(len(ds))]
+    assert ds.decode_cache.complete
+
+    for jpg in Path(work).glob("*.jpg"):
+        jpg.write_bytes(b"not a jpeg")  # decode would now raise
+    ds2 = DreamDataset(work, decode_cache_dir=cache, **KW)
+    for i in range(len(ds2)):
+        _tree_equal(ref[i], ds2[i])
+
+
+def test_odd_sized_image_bypasses_cache(ds_dir, tmp_path):
+    from PIL import Image
+    work = tmp_path / "panda_synth_train_dr"
+    shutil.copytree(ds_dir, work)
+    jpgs = sorted(Path(work).glob("*.jpg"))
+    # shrink one image: its slot shape mismatches the first-opened image
+    small = np.asarray(Image.open(jpgs[2]).convert("RGB"))[:240, :320]
+    Image.fromarray(small).save(jpgs[2], quality=95)
+
+    ds = DreamDataset(work, decode_cache_dir=tmp_path / "c", **KW)
+    a = [ds[i] for i in range(len(ds))]
+    assert not ds.decode_cache.complete            # the odd item never fills
+    assert ds.decode_cache.hit_count() == len(ds) - 1
+    b = [ds[i] for i in range(len(ds))]            # odd item re-decodes
+    for x, y in zip(a, b):
+        _tree_equal(x, y)
+
+
+def test_cache_with_process_workers(ds_dir, tmp_path):
+    ds = DreamDataset(ds_dir, decode_cache_dir=tmp_path / "c", **KW)
+    loader = DataLoader(ds, batch_size=2, num_workers=2, drop_last=False,
+                        use_processes=True)
+    n = 0
+    for batch in loader:
+        n += batch["TCO"].shape[0]
+    loader.close()
+    assert n == len(ds)
+    # the parent-side cache object observes the workers' fills (memmap)
+    assert DecodedImageCache(tmp_path / "c", len(ds)).complete
+
+
+def test_readonly_dataset_dir_disables_cache_gracefully(ds_dir, tmp_path):
+    target = tmp_path / "nope"
+    target.mkdir()
+    os.chmod(target, 0o555)
+    try:
+        ds = DreamDataset(ds_dir, decode_cache_dir=target / "c", **KW)
+        sample = ds[0]                              # must still work
+        assert sample["root"]["images"].shape == (64, 64, 3)
+    finally:
+        os.chmod(target, 0o755)

@@ -65,10 +65,14 @@ def _convex_hull(points):
     """Monotone-chain hull, CCW. points (N, 2) -> (M, 2)."""
     pts = sorted(map(tuple, points))
 
+    def cross2(a, b):
+        # scalar z-component; np.cross on 2-vectors is deprecated (numpy 2.0)
+        return a[0] * b[1] - a[1] * b[0]
+
     def half(seq):
         out = []
         for p in seq:
-            while len(out) >= 2 and np.cross(
+            while len(out) >= 2 and cross2(
                     np.subtract(out[-1], out[-2]),
                     np.subtract(p, out[-2])) <= 0:
                 out.pop()
