@@ -168,6 +168,20 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
                         drop_last=False)
     eval_step = build_full_eval_step(cfg, model, robot)
 
+    # multi-chip eval: replicate weights, shard each (padded) batch over
+    # the data mesh — same knob and pattern as the training pipelines
+    mesh = None
+    if cfg.get("mesh_shape"):
+        from horopose_tpu.parallel import make_mesh, replicate, shard_batch
+        n_dev = int(np.prod(cfg.mesh_shape))
+        if batch_size % n_dev:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"mesh size {n_dev}")
+        mesh = make_mesh(n_dev)
+        state = state.replace(params=replicate(state.params, mesh),
+                              batch_stats=replicate(state.batch_stats, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
+
     alldis = defaultdict(list)
     alldis_rel = defaultdict(list)
     metric_l1joint = [AverageMeter() for _ in range(robot.dof)]
@@ -186,6 +200,8 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
             break
         bsz = batch["TCO"].shape[0]
         batch, n_valid = pad_batch(batch, batch_size)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
         t0 = time.time()
         preds, gts, logs = eval_step(state, batch)
         preds = {k: np.asarray(v) for k, v in preds.items()}

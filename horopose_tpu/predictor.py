@@ -34,8 +34,12 @@ from horopose_tpu.pipelines.common import build_fullnet, make_robot
 
 
 class Predictor:
-    def __init__(self, cfg, variables, dtype=jnp.float32):
+    def __init__(self, cfg, variables, dtype=jnp.float32, mesh=None):
+        """mesh: optional jax.sharding.Mesh (1-D, 'data' axis) for
+        data-parallel serving — params replicated once, every batch
+        sharded along axis 0 (padded up to device-count divisibility)."""
         self.cfg = cfg
+        self.mesh = mesh
         self.robot = make_robot(cfg)
         if dtype is not None:
             cfg.compute_dtype = ("bfloat16" if dtype == jnp.bfloat16
@@ -62,9 +66,9 @@ class Predictor:
     @classmethod
     def from_experiment(cls, exp_path: str,
                         ckpt_name: str = "curr_best_auc(add)_model.pk",
-                        dtype=jnp.float32) -> "Predictor":
+                        dtype=jnp.float32, mesh=None) -> "Predictor":
         cfg = make_cfg(os.path.join(exp_path, "config.yaml"))
-        predictor = cls(cfg, None, dtype=dtype)
+        predictor = cls(cfg, None, dtype=dtype, mesh=mesh)
         rng = jax.random.PRNGKey(0)
         s = predictor.size
         variables = predictor.model.init(
@@ -121,13 +125,40 @@ class Predictor:
             jnp.asarray(fy)))
         return crops, K_crops, k_values
 
+    def _device_args(self, crops, k_values, K_crops):
+        """Move inputs to device; under a mesh, replicate the params once
+        and shard the batch (padding to device-count divisibility — the
+        pad rows are trimmed from every output in __call__)."""
+        if self.mesh is None:
+            return (self.variables, jnp.asarray(crops),
+                    jnp.asarray(k_values), jnp.asarray(K_crops), 0)
+        from horopose_tpu.parallel import replicate, shard_batch
+        if not getattr(self, "_replicated", False):
+            self.variables = replicate(self.variables, self.mesh)
+            self._replicated = True
+        n = self.mesh.devices.size
+        pad = (-len(crops)) % n
+        if pad:
+            crops = np.concatenate([crops, np.repeat(crops[-1:], pad, 0)])
+            k_values = np.concatenate(
+                [k_values, np.repeat(k_values[-1:], pad, 0)])
+            K_crops = np.concatenate(
+                [K_crops, np.repeat(K_crops[-1:], pad, 0)])
+        sharded = shard_batch(
+            dict(x=crops, k=k_values, K=K_crops), self.mesh)
+        return (self.variables, sharded["x"], sharded["k"], sharded["K"],
+                pad)
+
     def __call__(self, images: np.ndarray, K: np.ndarray,
                  bboxes: Optional[np.ndarray] = None) -> Dict:
         """images (B, H, W, 3) uint8 full frames; K (B, 3, 3); bboxes
         (B, 4) xyxy robot boxes (full frame when omitted)."""
         crops, K_crops, k_values = self.preprocess(images, K, bboxes)
-        out = self._forward(self.variables, jnp.asarray(crops),
-                            jnp.asarray(k_values), jnp.asarray(K_crops))
+        variables, x, k, Kc, pad = self._device_args(crops, k_values,
+                                                     K_crops)
+        out = self._forward(variables, x, k, Kc)
+        if pad:
+            out = jax.tree.map(lambda a: a[:-pad], out)
         kp3d = np.asarray(out["xyz_fk"])
         kp2d = np.asarray(project_points(jnp.asarray(K, jnp.float32),
                                          jnp.asarray(kp3d)))

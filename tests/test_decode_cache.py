@@ -104,3 +104,17 @@ def test_readonly_dataset_dir_disables_cache_gracefully(ds_dir, tmp_path):
         assert sample["root"]["images"].shape == (64, 64, 3)
     finally:
         os.chmod(target, 0o755)
+
+
+def test_warm_cache_cli(ds_dir, tmp_path):
+    from horopose_tpu.tools.warm_cache import main, warm
+    cache_dir = str(tmp_path / "warm")
+    n = warm(str(ds_dir), cache_dir=cache_dir, workers=2)
+    assert n == 5
+    assert DecodedImageCache(cache_dir, 5).complete
+    # idempotent second pass via the CLI entry point
+    assert main([str(ds_dir), "--cache_dir", cache_dir]) == 0
+    # warmed cache serves the dataset
+    ds = DreamDataset(ds_dir, decode_cache_dir=cache_dir, **KW)
+    plain = DreamDataset(ds_dir, **KW)
+    _tree_equal(plain[0], ds[0])

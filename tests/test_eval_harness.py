@@ -88,3 +88,49 @@ def test_eval_converted_reference_checkpoint(eval_ws, tmp_path, monkeypatch,
     got = np.asarray(merge_into(variables, tb)["params"]
                      ["reg_backbone"]["conv1"]["kernel"])
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_eval_harness_mesh_sharding_matches_single_device(eval_ws, tmp_path,
+                                                          monkeypatch):
+    """cfg.mesh_shape shards eval batches over the data mesh; metrics must
+    be identical to the single-device run (same deterministic init)."""
+    base, test_dir = eval_ws
+    monkeypatch.chdir(tmp_path)
+    exp_path = os.path.join(str(base), "experiments", "mesh_eval")
+    os.makedirs(os.path.join(exp_path, "ckpt"), exist_ok=True)
+    with open(os.path.join(exp_path, "config.yaml"), "w") as f:
+        yaml.safe_dump(dict(
+            exp_name="mesh_eval", urdf_robot_name="panda", image_size=64.0,
+            backbone_name="resnet18", rootnet_backbone_name="resnet18",
+            reference_keypoint_id=3, fix_root=True), f)
+
+    from horopose_tpu.pipelines.test import make_test_cfg, test_network
+
+    cfg1 = make_test_cfg(exp_path, test_dir)
+    s1 = test_network(cfg1, ckpt_name="absent.pk", batch_size=4)
+
+    cfg8 = make_test_cfg(exp_path, test_dir)
+    cfg8.mesh_shape = [4]
+    s8 = test_network(cfg8, ckpt_name="absent.pk", batch_size=4)
+
+    assert abs(s1["ADD/AUC"] - s8["ADD/AUC"]) < 1e-6, (s1["ADD/AUC"],
+                                                       s8["ADD/AUC"])
+    assert abs(s1["PCK/AUC"] - s8["PCK/AUC"]) < 1e-4
+
+
+def test_eval_harness_mesh_indivisible_batch_raises(eval_ws, tmp_path,
+                                                    monkeypatch):
+    base, test_dir = eval_ws
+    monkeypatch.chdir(tmp_path)
+    exp_path = os.path.join(str(base), "experiments", "mesh_eval2")
+    os.makedirs(exp_path, exist_ok=True)
+    with open(os.path.join(exp_path, "config.yaml"), "w") as f:
+        yaml.safe_dump(dict(
+            exp_name="mesh_eval2", urdf_robot_name="panda",
+            image_size=64.0, backbone_name="resnet18",
+            rootnet_backbone_name="resnet18", reference_keypoint_id=3), f)
+    from horopose_tpu.pipelines.test import make_test_cfg, test_network
+    cfg = make_test_cfg(exp_path, test_dir)
+    cfg.mesh_shape = [8]
+    with pytest.raises(ValueError, match="not divisible"):
+        test_network(cfg, ckpt_name="absent.pk", batch_size=4)

@@ -61,3 +61,31 @@ def test_predictor_from_experiment(experiment, rng):
     # full-frame default bbox also works
     out2 = pred(images, K)
     assert out2["joints"].shape == (B, 8)
+
+
+def test_predictor_mesh_serving_matches_single_device(experiment, rng):
+    """Data-parallel serving: same outputs as single-device, including the
+    non-divisible-batch padding path (B=6 over 8 devices)."""
+    import jax
+    from horopose_tpu.parallel import make_mesh
+    from horopose_tpu.predictor import Predictor
+
+    assert len(jax.devices()) >= 8
+    B, H, W = 6, 480, 640
+    images = rng.randint(0, 255, (B, H, W, 3), dtype=np.uint8)
+    K = np.tile(np.asarray([[320.0, 0, 320], [0, 320.0, 240], [0, 0, 1]],
+                           np.float32)[None], (B, 1, 1))
+    bboxes = np.tile(np.asarray([150, 100, 450, 380], np.float32)[None],
+                     (B, 1))
+
+    single = Predictor.from_experiment(str(experiment))(images, K, bboxes)
+    meshed = Predictor.from_experiment(
+        str(experiment), mesh=make_mesh(8))(images, K, bboxes)
+
+    assert meshed["joints"].shape == (B, 8)
+    # the two runs compile for different batch shapes (6 vs padded 8), so
+    # reduction order differs: compare with a relative tolerance
+    for key in ("joints", "rotation", "translation", "keypoints_3d",
+                "keypoints_2d"):
+        np.testing.assert_allclose(single[key], meshed[key], rtol=3e-3,
+                                   atol=2e-4, err_msg=key)
