@@ -89,13 +89,16 @@ def test_add_auc_crosses_threshold(cfg, tmp_path, monkeypatch):
             aucs[epoch] = validate_full(cfg, robot, eval_step, state,
                                         loaders["test"]["dr"], writer,
                                         epoch, "dr", None)
+            if aucs[epoch] >= 0.75:   # comfortably past the bar: stop early
+                break
         for batch in loaders["train"]:
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
         assert np.isfinite(float(logs["loss"])), (epoch, logs)
-    aucs[N_EPOCHS] = validate_full(cfg, robot, eval_step, state,
-                                   loaders["test"]["dr"], writer,
-                                   N_EPOCHS, "dr", None)
+    else:
+        aucs[N_EPOCHS] = validate_full(cfg, robot, eval_step, state,
+                                       loaders["test"]["dr"], writer,
+                                       N_EPOCHS, "dr", None)
     writer.close()
 
     best = max(aucs.values())
