@@ -20,6 +20,13 @@ import jax  # noqa: E402
 # so set it explicitly to keep unit tests on the local virtual-8-device CPU.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: most suite wall time is XLA compilation of the
+# same step functions; repeat runs hit the disk cache (keyed by HLO hash).
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
