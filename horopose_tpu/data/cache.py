@@ -18,12 +18,14 @@ Layout under `cache_dir`:
   images.u8   memmap uint8 (N, H, W, 3)
   done.u8     memmap uint8 (N,)  1 = slot valid
 
-Concurrency: thread and process workers share the files. Writes are
-idempotent (decoding image i always yields the same bytes), and the done
-flag for a slot is written only after its payload, so a torn read can at
-worst miss a concurrent fill and decode redundantly — never observe a
-half-written slot as valid. Images whose shape differs from the slot shape
-bypass the cache (per-item fallback, no error).
+Concurrency: thread and process workers share the files. Creation is
+elected through an O_EXCL lock file (a second concurrent creator would
+truncate the first one's slots); after that, writes are idempotent
+(decoding image i always yields the same bytes), and the done flag for a
+slot is written only after its payload, so a torn read can at worst miss
+a concurrent fill and decode redundantly — never observe a half-written
+slot as valid. Images whose shape differs from the slot shape bypass the
+cache (per-item fallback, no error).
 """
 
 from __future__ import annotations
@@ -69,6 +71,21 @@ class DecodedImageCache:
                                shape=(self.n,))
 
     def _create(self, h: int, w: int):
+        # Exactly ONE creator: mode="w+" truncates, so a second concurrent
+        # _create would wipe slots the first already filled. O_EXCL on a
+        # lock file elects the creator atomically (works across processes);
+        # losers wait for meta.json and open what the winner built.
+        import time
+        lock = self.dir / ".init_lock"
+        try:
+            os.close(os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+        except FileExistsError:
+            for _ in range(1000):  # creator allocates within ~10 s
+                if self._meta_path.exists():
+                    break
+                time.sleep(0.01)
+            self._open_existing()
+            return
         # Sized files first, meta last: a concurrent reader only opens the
         # cache once meta.json exists, by which point both memmaps are
         # fully allocated.
@@ -93,6 +110,8 @@ class DecodedImageCache:
         return np.array(self._images[idx])
 
     def put(self, idx: int, rgb: np.ndarray) -> None:
+        if self.n < 0:
+            return  # poisoned: creation failed once, don't retry per item
         if self._done is None:
             if not self._meta_path.exists():
                 try:
