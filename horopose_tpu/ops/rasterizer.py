@@ -104,6 +104,12 @@ def rasterize_silhouette(verts: jnp.ndarray, faces, K: jnp.ndarray,
         v1 = tri_uv_b[None, :, 1]
         v2 = tri_uv_b[None, :, 2]
 
+        # checkpoint: without it the scan under the batch vmap stacks the
+        # (B, C, F) distance/logit residuals for every chunk — the full
+        # (B, P, F) tensor times several — and a 480x640 sim2real step
+        # OOMs 16 GB HBM by ~60 GB. Recomputing the distances in the
+        # backward keeps the residuals at (B, C) per chunk.
+        @jax.checkpoint
         def chunk_fn(pix):
             sd2 = _signed_dist_sq(pix[:, None, :], v0, v1, v2)  # (C, F)
             logits = -sd2 * inv_sigma
