@@ -56,10 +56,22 @@ def _signed_dist_sq(pix, v0, v1, v2):
     s = jnp.sign(area)
     inside = (e0 * s >= 0) & (e1 * s >= 0) & (e2 * s >= 0) & \
         (jnp.abs(area) > 1e-9)
+    # Sliver robustness: a triangle seen edge-on projects to a near-line;
+    # ALL THREE edge functions are then ~0 for every pixel near that LINE
+    # (arbitrarily far beyond the segment), and f32 rounding can flip the
+    # sign tests to "inside", painting an alpha=1 streak across the image.
+    # A genuinely interior pixel is never farther from the boundary than
+    # the triangle's inradius <= its longest edge, so bound the interior
+    # by the squared max edge length.
+    emax2 = jnp.maximum(jnp.maximum(
+        jnp.sum((v1 - v0) ** 2, -1),
+        jnp.sum((v2 - v1) ** 2, -1)),
+        jnp.sum((v0 - v2) ** 2, -1))
     d2 = jnp.minimum(jnp.minimum(
         _edge_distance_sq(pix, v0, v1),
         _edge_distance_sq(pix, v1, v2)),
         _edge_distance_sq(pix, v2, v0))
+    inside = inside & (d2 <= emax2)
     return jnp.where(inside, -d2, d2)
 
 
@@ -124,11 +136,119 @@ def rasterize_silhouette(verts: jnp.ndarray, faces, K: jnp.ndarray,
     return jax.vmap(render_one)(tri_uv, valid)
 
 
+def rasterize_silhouette_tiled(verts: jnp.ndarray, faces, K: jnp.ndarray,
+                               image_hw, sigma: float = 1.0,
+                               tile: int = 16,
+                               faces_per_tile: int = 192,
+                               return_overflow: bool = False):
+    """Tile-culled soft silhouette — same math as rasterize_silhouette but
+    each `tile`x`tile` pixel block only evaluates the faces whose
+    screen-space bbox (plus a halo) intersects it.
+
+    The cutoff is exact to f32: a face whose squared distance to every
+    pixel of the tile exceeds halo^2 = 37*sigma contributes
+    softplus(-37) < 1e-16 to the log-space union. Faces are ranked by
+    bbox-center proximity so, if more than `faces_per_tile` faces overlap
+    a tile (dense close-ups), the farthest are dropped first — pick
+    `faces_per_tile` generously vs the mesh (tests compare against the
+    dense renderer). Work drops from P*F to P*faces_per_tile pairs.
+
+    Use for finely-tessellated meshes (real OBJ link meshes, 10k+ small
+    faces): the win is ~F/faces_per_tile. For coarse primitive meshes the
+    per-tile face counts approach F and overflow truncates real
+    contributors — keep the dense renderer there. With
+    return_overflow=True also returns the fraction of tiles whose
+    overlapping-face count exceeded faces_per_tile (0.0 == exact);
+    pipelines log it so a too-small budget is visible, not silent.
+    """
+    H, W = image_hw
+    B = verts.shape[0]
+    faces = jnp.asarray(faces)
+    F = faces.shape[0]
+    Kf = min(faces_per_tile, F)
+    if K.ndim == 2:
+        K = jnp.broadcast_to(K, (B, 3, 3))
+    proj = jnp.einsum("bij,bvj->bvi", K, verts)
+    z = proj[..., 2]
+    safe_z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    uv = proj[..., :2] / safe_z[..., None]
+
+    tri_uv = uv[:, faces]                      # (B, F, 3, 2)
+    tri_z = z[:, faces]
+    valid = jnp.all(tri_z > 1e-4, axis=-1)     # (B, F)
+
+    th, tw = -(-H // tile), -(-W // tile)
+    halo = jnp.sqrt(37.0 * sigma) + 1.0
+
+    # face screen bboxes + halo
+    fmin = tri_uv.min(axis=2) - halo           # (B, F, 2) xy
+    fmax = tri_uv.max(axis=2) + halo
+
+    # tile rects (T, 2): origin xy; T = th*tw
+    ty = jnp.arange(th, dtype=jnp.float32) * tile
+    tx = jnp.arange(tw, dtype=jnp.float32) * tile
+    torig = jnp.stack(
+        jnp.meshgrid(tx, ty, indexing="xy"), axis=-1).reshape(-1, 2)
+    T = torig.shape[0]
+
+    # overlap (B, T, F): 1-D interval tests on x and y
+    ox = (fmin[:, None, :, 0] <= torig[None, :, None, 0] + tile) & \
+         (fmax[:, None, :, 0] >= torig[None, :, None, 0])
+    oy = (fmin[:, None, :, 1] <= torig[None, :, None, 1] + tile) & \
+         (fmax[:, None, :, 1] >= torig[None, :, None, 1])
+    overlap = ox & oy & valid[:, None, :]
+
+    # rank: overlapping faces by bbox-center distance to the tile center
+    fcent = (fmin + fmax) * 0.5                # (B, F, 2)
+    tcent = torig + tile * 0.5                 # (T, 2)
+    d2c = jnp.sum((fcent[:, None] - tcent[None, :, None]) ** 2, -1)
+    score = jnp.where(overlap, -d2c, -jnp.inf)  # (B, T, F)
+    _, idx = jax.lax.top_k(score, Kf)           # (B, T, Kf)
+    sel_valid = jnp.take_along_axis(overlap, idx, axis=2)  # (B, T, Kf)
+    overflow = jnp.mean((jnp.sum(overlap, axis=2) > Kf).astype(jnp.float32))
+
+    tri_sel = jnp.take_along_axis(
+        tri_uv[:, None], idx[..., None, None], axis=2)  # (B, T, Kf, 3, 2)
+
+    # per-tile pixel grid (T, tile*tile, 2), pixel centers
+    py = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    px = jnp.arange(tile, dtype=jnp.float32) + 0.5
+    tgrid = jnp.stack(jnp.meshgrid(px, py, indexing="xy"),
+                      axis=-1).reshape(-1, 2)           # (tile*tile, 2)
+    pix_tiles = torig[:, None, :] + tgrid[None]         # (T, tp, 2)
+
+    inv_sigma = 1.0 / sigma
+
+    def render_one(tri_b, val_b):
+        # tri_b (T, Kf, 3, 2); val_b (T, Kf)
+        @jax.checkpoint
+        def tile_fn(args):
+            tri_t, val_t, pix_t = args                  # per tile
+            v0 = tri_t[None, :, 0]
+            v1 = tri_t[None, :, 1]
+            v2 = tri_t[None, :, 2]
+            sd2 = _signed_dist_sq(pix_t[:, None, :], v0, v1, v2)
+            log_one_minus = -jax.nn.softplus(-sd2 * inv_sigma)
+            log_one_minus = jnp.where(val_t[None, :], log_one_minus, 0.0)
+            return 1.0 - jnp.exp(jnp.sum(log_one_minus, axis=-1))  # (tp,)
+
+        alpha = jax.lax.map(tile_fn, (tri_b, val_b, pix_tiles))  # (T, tp)
+        img = alpha.reshape(th, tw, tile, tile).transpose(0, 2, 1, 3)
+        return img.reshape(th * tile, tw * tile)[:H, :W]
+
+    out = jax.vmap(render_one)(tri_sel, sel_valid)
+    if return_overflow:
+        return out, overflow
+    return out
+
+
 def render_robot_silhouette(robot, robot_mesh, cfg: jnp.ndarray,
                             rot: jnp.ndarray, trans: jnp.ndarray,
                             K: jnp.ndarray, image_hw,
                             root: int = 0, sigma: float = 1.0,
-                            detach_joints: bool = True) -> jnp.ndarray:
+                            detach_joints: bool = True,
+                            faces_per_tile: int = 0,
+                            return_overflow: bool = False):
     """Batched robot silhouette for the sim2real mask loss.
 
     Mirrors get_rendered_mask_single_image_at_specific_root
@@ -154,5 +274,12 @@ def render_robot_silhouette(robot, robot_mesh, cfg: jnp.ndarray,
     tv = world[..., :3, 3][:, vl]                     # (B, V, 3)
     v_local = jnp.asarray(robot_mesh.verts)
     v_cam = jnp.einsum("bvij,vj->bvi", Rv, v_local) + tv
-    return rasterize_silhouette(v_cam, robot_mesh.faces, K, image_hw,
-                                sigma=sigma)
+    if faces_per_tile and faces_per_tile > 0:
+        out = rasterize_silhouette_tiled(v_cam, robot_mesh.faces, K,
+                                         image_hw, sigma=sigma,
+                                         faces_per_tile=faces_per_tile,
+                                         return_overflow=True)
+        return out if return_overflow else out[0]
+    alpha = rasterize_silhouette(v_cam, robot_mesh.faces, K, image_hw,
+                                 sigma=sigma)
+    return (alpha, jnp.zeros(())) if return_overflow else alpha

@@ -105,9 +105,15 @@ def build_sim2real_train_step(cfg, model, robot, robot_mesh, seg_teacher, tx,
             K_render = K_render.at[:, 2, 2].set(1.0)
             pose_for_mesh = gts["gt_pose"] if cfg.known_joint else \
                 preds["pose"]
-            rendered = render_robot_silhouette(
+            # faces_per_tile > 0 enables the tile-culled rasterizer —
+            # worth it for finely-tessellated real OBJ link meshes; keep 0
+            # (dense) for the coarse built-in primitives. cull_overflow
+            # is logged: nonzero means the budget truncated real faces.
+            rendered, cull_overflow = render_robot_silhouette(
                 robot, robot_mesh, pose_for_mesh, preds["rot"],
-                preds["trans"], K_render, out_hw, root=ref, sigma=1.0)
+                preds["trans"], K_render, out_hw, root=ref, sigma=1.0,
+                faces_per_tile=int(cfg.get("raster_faces_per_tile") or 0),
+                return_overflow=True)
 
             if cfg.mask_loss_func == "mse_mean":
                 loss_mask = jnp.mean((rendered - seg_masks) ** 2)
@@ -146,7 +152,8 @@ def build_sim2real_train_step(cfg, model, robot, robot_mesh, seg_teacher, tx,
                     cfg.align_3d_loss_weight * loss_align)
             loss_dict = dict(loss_mask=loss_mask, loss_iou=loss_iou,
                              loss_scale=loss_scale,
-                             loss_error3d_align=loss_align)
+                             loss_error3d_align=loss_align,
+                             cull_overflow=cull_overflow)
             return loss, (loss_dict, new_bs)
 
         (loss, (loss_dict, new_bs)), grads = jax.value_and_grad(
@@ -223,7 +230,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     for epoch in range(n_epochs):
         meters = {t: AverageMeter() for t in
                   ("loss", "loss_mask", "loss_iou", "loss_scale",
-                   "loss_error3d_align")}
+                   "loss_error3d_align", "cull_overflow")}
         for batchid, batch in enumerate(train_loader):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break

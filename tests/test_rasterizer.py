@@ -109,3 +109,75 @@ def test_robot_silhouette_root_reframe_consistency():
                                        root=root, sigma=1.0)
     np.testing.assert_allclose(np.asarray(reframed), np.asarray(base),
                                atol=1e-3)
+
+
+def test_sliver_face_does_not_streak():
+    """A triangle seen edge-on projects to a near-line; all three edge
+    functions are ~0 for pixels anywhere near that LINE, and f32 rounding
+    used to flip the inside test, painting alpha=1 streaks across the
+    image far beyond the segment (found via the tiled renderer, which was
+    immune by construction). Regression: a dense sphere's silhouette must
+    be zero away from its projected disk."""
+    import numpy as np
+    from horopose_tpu.kinematics.meshes import sphere_mesh
+    from horopose_tpu.ops.rasterizer import rasterize_silhouette
+
+    v, f = sphere_mesh(0.06, n=24)
+    vc = jnp.asarray(v.astype(np.float32) + [0, 0, 0.8])[None]
+    K = jnp.asarray([[280.0, 0, 160.0], [0, 280.0, 120.0], [0, 0, 1.0]],
+                    jnp.float32)
+    a = np.asarray(rasterize_silhouette(vc, np.asarray(f, np.int32), K,
+                                        (240, 320)))[0]
+    # sphere projects to a disk of radius ~21 px at (160, 120); everything
+    # farther than 40 px must be (soft-tail) zero
+    yy, xx = np.mgrid[0:240, 0:320]
+    far = (yy - 120) ** 2 + (xx - 160) ** 2 > 40 ** 2
+    assert a[far].max() < 1e-4, a[far].max()
+    # and the disk itself is rendered
+    assert a[~far].sum() > 1000
+
+
+def test_tiled_rasterizer_matches_dense():
+    """Tile-culled renderer == dense renderer (values AND gradients) on a
+    spread-out fine mesh where the per-tile face budget holds, and the
+    overflow diagnostic is 0 there / positive when the budget is absurd."""
+    import numpy as np
+    from horopose_tpu.kinematics.meshes import sphere_mesh
+    from horopose_tpu.ops.rasterizer import (rasterize_silhouette,
+                                             rasterize_silhouette_tiled)
+
+    parts, base = [], 0
+    verts_l, faces_l = [], []
+    for o in np.array([[-0.45, -0.2, 0], [0.1, 0.25, 0.3], [0.55, -0.1, 0.6],
+                       [0.25, 0.45, 0.15]]):
+        v, f = sphere_mesh(0.3, n=16)
+        verts_l.append(v + o)
+        faces_l.append(f + base)
+        base += len(v)
+    verts = np.concatenate(verts_l).astype(np.float32)
+    faces = np.concatenate(faces_l).astype(np.int32)
+    K = jnp.asarray([[180.0, 0, 160.0], [0, 180.0, 120.0], [0, 0, 1.0]],
+                    jnp.float32)
+    vb = jnp.asarray(verts + [0, 0, 1.2])[None]
+
+    dense = rasterize_silhouette(vb, faces, K, (240, 320))
+    tiled, ovf = rasterize_silhouette_tiled(vb, faces, K, (240, 320),
+                                            faces_per_tile=256,
+                                            return_overflow=True)
+    # the flag counts bbox-overlap, a conservative proxy: a few flagged
+    # tiles only dropped negligible-tail faces, so values still match
+    assert float(ovf) < 0.02, float(ovf)
+    assert float(jnp.abs(dense - tiled).max()) < 1e-5
+
+    gd = jax.grad(lambda v: (rasterize_silhouette(v, faces, K,
+                                                  (240, 320)) ** 2).sum())(vb)
+    gt = jax.grad(lambda v: (rasterize_silhouette_tiled(
+        v, faces, K, (240, 320), faces_per_tile=256) ** 2).sum())(vb)
+    assert float(jnp.abs(gd - gt).max()) < 1e-3, \
+        float(jnp.abs(gd - gt).max())
+
+    # absurdly small budget on a dense blob must raise the overflow flag
+    _, ovf_small = rasterize_silhouette_tiled(vb, faces, K, (240, 320),
+                                              faces_per_tile=16,
+                                              return_overflow=True)
+    assert float(ovf_small) > 0.0
