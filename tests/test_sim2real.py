@@ -74,3 +74,33 @@ def test_missing_teacher_hard_fails(real_ws, tmp_path, monkeypatch):
     cfg.allow_random_teacher = True
     teacher = load_seg_teacher(cfg)  # explicit opt-in still works
     assert teacher is not None
+
+
+def test_sim2real_tiled_rasterizer_smoke(real_ws, tmp_path, monkeypatch):
+    """cfg.raster_faces_per_tile > 0 routes the mask render through the
+    tile-culled rasterizer and logs the overflow diagnostic."""
+    import json
+    base, train_dir = real_ws
+    monkeypatch.chdir(tmp_path)
+    cfg_yaml = dict(
+        exp_name="s2r_tiled", urdf_robot_name="panda", batch_size=2,
+        epoch_size=2, n_epochs=1, n_dataloader_workers=2, image_size=64.0,
+        lr=1e-6, clip_gradient=5.0, use_schedule=False, use_sim2real=True,
+        backbone_name="resnet18", rootnet_backbone_name="resnet18",
+        mask_loss_func="mse_mean", mask_loss_weight=1.0, iou_loss_weight=1.0,
+        scale_loss_weight=0.1, align_3d_loss_weight=1.0,
+        reference_keypoint_id=3, raster_faces_per_tile=256)
+    path = base / "s2r_tiled.yaml"
+    path.write_text(yaml.safe_dump(cfg_yaml))
+    cfg = make_cfg(str(path))
+    cfg.train_ds_names = str(train_dir)
+
+    from horopose_tpu.models.deeplab import SegTeacher
+    from horopose_tpu.pipelines.train_sim2real import train_sim2real
+    teacher = SegTeacher.init_random(jax.random.PRNGKey(0),
+                                     image_hw=(480, 640), scale=0.1)
+    state = train_sim2real(cfg, max_epochs=1, seg_teacher=teacher)
+    assert int(state.step) == 1
+    log = os.path.join("experiments", "s2r_tiled", "log", "scalars.jsonl")
+    tags = [json.loads(line)["tag"] for line in open(log)]
+    assert "Train/cull_overflow" in tags
