@@ -85,13 +85,35 @@ def collate(samples: List[Dict]) -> Dict:
 _WORKER_DS = None
 
 
-def _proc_init(ds):
+def _proc_init(ds, counter, base_seed):
+    """Per-worker state. CRITICAL: fork copies the parent's `random` /
+    `np.random` Mersenne state into every worker, so without reseeding all
+    workers draw IDENTICAL augmentation streams (same occlusion rects,
+    same jitter factors, in the same order). Each worker takes a distinct
+    id from the shared counter and reseeds — deterministic given
+    base_seed, matching torch DataLoader's base_seed+worker_id scheme."""
+    import random
     global _WORKER_DS
     _WORKER_DS = ds
+    with counter.get_lock():
+        wid = counter.value
+        counter.value += 1
+    random.seed(base_seed + wid)
+    np.random.seed((base_seed + wid) % (2 ** 32))
 
 
 def _proc_get(idx):
     return _WORKER_DS[idx]
+
+
+def _worker_rng_probe(_):
+    """Test hook: first random draws + pid of the executing worker. The
+    tiny sleep spreads probe items over ALL pool workers."""
+    import os
+    import random
+    import time
+    time.sleep(0.05)
+    return os.getpid(), random.random(), float(np.random.rand())
 
 
 class DataLoader:
@@ -108,7 +130,8 @@ class DataLoader:
 
     def __init__(self, dataset, batch_size: int, sampler=None,
                  num_workers: int = 4, drop_last: bool = True,
-                 prefetch: int = 4, use_processes: bool = False):
+                 prefetch: int = 4, use_processes: bool = False,
+                 worker_seed: int = 808):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -116,14 +139,17 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.use_processes = use_processes
+        self.worker_seed = worker_seed
         self._pool = None
 
     def _get_pool(self):
         if self._pool is None:
             import multiprocessing as mp
             ctx = mp.get_context("fork")
+            counter = ctx.Value("i", 0)
             self._pool = ctx.Pool(self.num_workers, initializer=_proc_init,
-                                  initargs=(self.dataset,))
+                                  initargs=(self.dataset, counter,
+                                            self.worker_seed))
         return self._pool
 
     def close(self):

@@ -138,3 +138,24 @@ def test_padding_zoom_out(dream_dir):
     np.testing.assert_allclose(proj, b["other"]["keypoints_2d"], atol=1e-2)
     span = lambda s: np.ptp(s["other"]["keypoints_2d"], axis=0).max()
     assert span(b) < span(a)  # zoomed out
+
+
+def test_process_workers_have_distinct_rng_streams():
+    """Fork copies the parent's RNG state: without per-worker reseeding all
+    workers draw identical augmentation streams. Probe each worker's first
+    draws and require them distinct across workers."""
+    import multiprocessing as mp
+    from collections import defaultdict
+    from horopose_tpu.data.samplers import _proc_init, _worker_rng_probe
+
+    ctx = mp.get_context("fork")
+    counter = ctx.Value("i", 0)
+    with ctx.Pool(2, initializer=_proc_init,
+                  initargs=(None, counter, 808)) as pool:
+        results = pool.map(_worker_rng_probe, range(8), chunksize=1)
+    by_pid = defaultdict(list)
+    for pid, r, nr in results:
+        by_pid[pid].append((r, nr))
+    assert len(by_pid) == 2, "expected both workers to run probes"
+    firsts = [draws[0] for draws in by_pid.values()]
+    assert firsts[0] != firsts[1], firsts
