@@ -129,6 +129,15 @@ class DecodedImageCache:
         self._images[idx] = rgb
         self._done[idx] = 1
 
+    def __getstate__(self):
+        # Pickle cheaply (paths only): np.memmap's default reduction
+        # materializes the WHOLE array. Needed for forkserver/spawn data
+        # workers; the memmaps reopen lazily in the child.
+        return {"dir": self.dir, "n": self.n}
+
+    def __setstate__(self, state):
+        self.__init__(state["dir"], state["n"])
+
     @property
     def complete(self) -> bool:
         return self._done is not None and bool(self._done.all())

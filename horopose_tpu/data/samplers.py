@@ -131,7 +131,7 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int, sampler=None,
                  num_workers: int = 4, drop_last: bool = True,
                  prefetch: int = 4, use_processes: bool = False,
-                 worker_seed: int = 808):
+                 worker_seed: int = 808, start_method: str = "fork"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.sampler = sampler
@@ -140,16 +140,35 @@ class DataLoader:
         self.prefetch = prefetch
         self.use_processes = use_processes
         self.worker_seed = worker_seed
+        # "fork" (default): fast, inherits the decode cache memmaps, and
+        # children do NOT re-run sitecustomize (important on hosts whose
+        # sitecustomize registers an accelerator plugin in every fresh
+        # python). "forkserver" avoids the fork-from-multithreaded-process
+        # hazard instead; the dataset import chain is jax-free and the
+        # decode cache pickles by path, so workers stay accelerator-free.
+        self.start_method = start_method
         self._pool = None
 
     def _get_pool(self):
         if self._pool is None:
             import multiprocessing as mp
-            ctx = mp.get_context("fork")
+            import os
+            ctx = mp.get_context(self.start_method)
             counter = ctx.Value("i", 0)
-            self._pool = ctx.Pool(self.num_workers, initializer=_proc_init,
-                                  initargs=(self.dataset, counter,
-                                            self.worker_seed))
+            # Non-fork children re-run sitecustomize; scrub the remote-TPU
+            # plugin trigger so data workers never touch the accelerator
+            # (same trap as __graft_entry__.dryrun_multichip).
+            saved = None
+            if self.start_method != "fork":
+                saved = os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+            try:
+                self._pool = ctx.Pool(self.num_workers,
+                                      initializer=_proc_init,
+                                      initargs=(self.dataset, counter,
+                                                self.worker_seed))
+            finally:
+                if saved is not None:
+                    os.environ["PALLAS_AXON_POOL_IPS"] = saved
         return self._pool
 
     def close(self):

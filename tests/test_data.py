@@ -159,3 +159,25 @@ def test_process_workers_have_distinct_rng_streams():
     assert len(by_pid) == 2, "expected both workers to run probes"
     firsts = [draws[0] for draws in by_pid.values()]
     assert firsts[0] != firsts[1], firsts
+
+
+def test_dataloader_forkserver_workers(tmp_path):
+    """The forkserver start method (no fork-from-multithreaded hazard)
+    works end to end: the dataset (incl. the path-pickled decode cache)
+    ships to clean worker processes."""
+    from fixtures import make_synthetic_dream_dataset
+    from horopose_tpu.data import DataLoader, DreamDataset
+
+    d = make_synthetic_dream_dataset(tmp_path / "dream", "panda",
+                                     n_images=4, split="train_dr", seed=9)
+    ds = DreamDataset(d, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False,
+                      rootnet_resize_hw=(64, 64), other_resize_hw=(64, 64),
+                      decode_cache_dir=tmp_path / "cache")
+    loader = DataLoader(ds, batch_size=2, num_workers=2, drop_last=False,
+                        use_processes=True, start_method="forkserver")
+    n = 0
+    for batch in loader:
+        n += batch["TCO"].shape[0]
+    loader.close()
+    assert n == 4
