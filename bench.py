@@ -84,12 +84,15 @@ def measure(model, robot, variables, batch_size: int, iters: int = 10):
     np.asarray(chained(variables, x, k, K))  # compile + first run
     print(f"# batch={batch_size} compile+run {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
-    best_dt = float("inf")
-    for _ in range(2):  # two steady-state passes; keep the better one
+    # mean of two steady-state passes (round 1 was single-pass, round 2
+    # best-of-two; mean-of-two from round 3 on — a max mixes methodologies
+    # and biases the cross-round comparison high)
+    dts = []
+    for _ in range(2):
         t0 = time.perf_counter()
         np.asarray(chained(variables, x, k, K))
-        best_dt = min(best_dt, (time.perf_counter() - t0) / iters)
-    return batch_size / best_dt
+        dts.append((time.perf_counter() - t0) / iters)
+    return batch_size / (sum(dts) / len(dts))
 
 
 def main():

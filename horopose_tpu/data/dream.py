@@ -115,10 +115,14 @@ class DreamDataset:
         # epochs skip PIL decode entirely. None = off (the default).
         self.decode_cache = None
         if decode_cache_dir:
-            from horopose_tpu.data.cache import DecodedImageCache
+            from horopose_tpu.data.cache import (DecodedImageCache,
+                                                 dataset_fingerprint)
             try:
                 self.decode_cache = DecodedImageCache(
-                    decode_cache_dir, len(self.frame_index))
+                    decode_cache_dir, len(self.frame_index),
+                    fingerprint=dataset_fingerprint(
+                        self.base_dir,
+                        [r["rgb_path"] for r in self.frame_index]))
             except OSError as e:
                 print(f"[data] decode cache disabled ({e})")
         s = str(base_dir)

@@ -34,7 +34,15 @@ from horopose_tpu.ops.rotations import rot6d_to_rotmat, rotmat_to_rot6d
 from horopose_tpu.ops.transforms import uvz_to_xyz_singlepoint
 
 _RESNETS = ("resnet", "resnet18", "resnet34", "resnet50", "resnet101")
-_HRNETS = ("hrnet", "hrnet32")
+# "hrnet"/"hrnet32" -> w32 (the reference FullNet's only wiring,
+# full_net.py:80-81,139-140); "hrnet48" additionally exposes the w48 variant
+# the reference defines in get_hrnet (HRnet.py:613-623 + hrnet_w48.yaml) but
+# never plumbs through.
+_HRNETS = ("hrnet", "hrnet32", "hrnet48")
+
+
+def _hrnet_width(name: str) -> int:
+    return 48 if str(name).endswith("48") else 32
 
 
 class FullNet(nn.Module):
@@ -82,7 +90,8 @@ class FullNet(nn.Module):
                             name="rootnet_backbone")(x_root, train=train)
             img_feat = jnp.mean(fm, axis=(1, 2))
         elif self.rootnet_backbone_name in _HRNETS:
-            img_feat = get_hrnet(32, num_joints=self.num_keypoints,
+            img_feat = get_hrnet(_hrnet_width(self.rootnet_backbone_name),
+                                 num_joints=self.num_keypoints,
                                  depth_dim=self.depth_dim, generate_hm=False,
                                  generate_feat=True, dtype=self.dtype,
                                  name="rootnet_backbone")(x_root, train=train)
@@ -132,7 +141,8 @@ class FullNet(nn.Module):
                                              self.depth_dim))),
                          dtype=self.dtype, name="final_layer")(y)
         elif self.backbone_name in _HRNETS:
-            hm, xf = get_hrnet(32, num_joints=self.num_keypoints,
+            hm, xf = get_hrnet(_hrnet_width(self.backbone_name),
+                               num_joints=self.num_keypoints,
                                depth_dim=self.depth_dim, generate_hm=True,
                                generate_feat=True, dtype=self.dtype,
                                name="reg_backbone")(x_reg, train=train)

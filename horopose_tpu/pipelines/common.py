@@ -23,11 +23,17 @@ from horopose_tpu.models import FullNet
 REAL_DS_SHORTS = ("azure", "kinect", "realsense", "orb")
 
 
-def make_pnp_fn(cfg):
+def make_pnp_fn(ds_names):
     """Pseudo-GT rotation for REAL datasets: PnP of the annotated 2D
-    keypoints against FK 3D points (function.py:67-75). Returns None on
-    synthetic sets, where TCO is the rotation ground truth."""
-    if "synth" in str(cfg.train_ds_names):
+    keypoints against FK 3D points. Returns None on synthetic sets, where
+    TCO is the rotation ground truth.
+
+    Takes the dataset-name string explicitly because the reference keys the
+    condition differently per harness: training/validation key on
+    train_ds_names (/root/reference/lib/core/function.py:67), while the test
+    harness keys on the dataset under evaluation
+    (/root/reference/scripts/test.py:120-125)."""
+    if "synth" in str(ds_names):
         return None
     from horopose_tpu.ops.pnp import pnp
     return pnp
@@ -121,7 +127,10 @@ def _resolve_cache_dir(cfg, path) -> str:
     root = str(cfg.get("decode_cache_dir") or
                os.environ.get("HOROPOSE_CACHE_DIR") or
                os.path.join(str(path), ".decode_cache"))
-    if os.path.abspath(root).startswith(os.path.abspath(str(path))):
+    root_abs, path_abs = os.path.abspath(root), os.path.abspath(str(path))
+    # separator-boundary containment: /data/dream-v2 is NOT inside
+    # /data/dream (a bare startswith would say it is)
+    if root_abs == path_abs or root_abs.startswith(path_abs + os.sep):
         return root  # already inside the dataset dir: no name needed
     return os.path.join(root, os.path.basename(os.path.normpath(str(path))))
 

@@ -166,7 +166,14 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
                       extend_ratio=cfg.extend_ratio)
     loader = DataLoader(ds, batch_size=batch_size, num_workers=8,
                         drop_last=False)
-    eval_step = build_full_eval_step(cfg, model, robot)
+    # Real-set pseudo-GT: the reference's test harness keys the BPnP
+    # pseudo-GT rotation on the dataset UNDER EVALUATION
+    # (/root/reference/scripts/test.py:120-125), not on the train set —
+    # rotation metrics on panda-3cam_* score against PnP of the annotated
+    # 2D keypoints, not the annotated TCO.
+    from horopose_tpu.pipelines.common import make_pnp_fn
+    eval_step = build_full_eval_step(cfg, model, robot,
+                                     pnp_fn=make_pnp_fn(cfg.test_ds_names))
 
     # multi-chip eval: replicate weights, shard each (padded) batch over
     # the data mesh — same knob and pattern as the training pipelines

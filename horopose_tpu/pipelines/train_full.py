@@ -201,7 +201,9 @@ def train_full(cfg, max_epochs=None, max_steps_per_epoch=None):
         start_epoch = int(payload["epoch"]) + 1
         keeper.resume()
 
-    pnp_fn = make_pnp_fn(cfg)
+    # reference keys train AND validation pseudo-GT on the TRAIN set name
+    # (function.py:67: `"synth" not in args.train_ds_names`)
+    pnp_fn = make_pnp_fn(cfg.train_ds_names)
     train_step = build_full_train_step(cfg, model, robot, tx,
                                        pnp_fn=pnp_fn)
     eval_step = build_full_eval_step(cfg, model, robot, pnp_fn=pnp_fn)

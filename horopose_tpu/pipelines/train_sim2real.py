@@ -57,8 +57,18 @@ def load_seg_teacher(cfg, image_hw=(480, 640)) -> SegTeacher:
     cfg.allow_random_teacher=True to opt into that explicitly (smoke tests).
     """
     ds = cfg.train_ds_names
-    camera = next((c for c in ("azure", "kinect", "realsense", "orb")
-                   if c in ds), "azure")
+    known = ("azure", "kinect", "realsense", "orb")
+    camera = next((c for c in known if c in ds), None)
+    if camera is None:
+        if cfg.get("allow_random_teacher"):
+            camera = "azure"  # debug-only: weights are not loaded anyway
+        else:
+            raise ValueError(
+                f"cannot infer the segmentation-teacher camera from "
+                f"train_ds_names={ds!r}; the reference trains sim2real only "
+                f"on the real Panda camera sets (known cameras: "
+                f"{', '.join(known)}). Point train_ds_names at one of them, "
+                "or set allow_random_teacher: True for a debug run.")
     path = os.path.join("models", "panda_segmentation", f"{camera}.msgpack")
     teacher = SegTeacher.init_random(jax.random.PRNGKey(0),
                                      image_hw=image_hw)
@@ -220,7 +230,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     train_step = build_sim2real_train_step(cfg, model, robot, robot_mesh,
                                            seg_teacher, tx)
     eval_step = build_full_eval_step(cfg, model, robot,
-                                     pnp_fn=make_pnp_fn(cfg))
+                                     pnp_fn=make_pnp_fn(cfg.train_ds_names))
 
     # data-parallel mesh, same knob as train_full/train_depthnet: batch
     # (incl. the teacher's full-res images) sharded, params replicated by jit

@@ -25,14 +25,17 @@ def warm(dataset_dir: str, cache_dir: str = "", workers: int = 0) -> int:
     import numpy as np
     from PIL import Image
 
-    from horopose_tpu.data.cache import DecodedImageCache
+    from horopose_tpu.data.cache import (DecodedImageCache,
+                                         dataset_fingerprint)
     from horopose_tpu.data.dream import build_frame_index
 
     index = build_frame_index(dataset_dir)
     if not index:
         raise FileNotFoundError(f"no *.jpg under {dataset_dir!r}")
     cache = DecodedImageCache(
-        cache_dir or os.path.join(dataset_dir, ".decode_cache"), len(index))
+        cache_dir or os.path.join(dataset_dir, ".decode_cache"), len(index),
+        fingerprint=dataset_fingerprint(
+            dataset_dir, [r["rgb_path"] for r in index]))
     todo = [i for i in range(len(index)) if cache.get(i) is None]
     if not todo:
         return cache.hit_count()

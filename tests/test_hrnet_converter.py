@@ -13,13 +13,11 @@ import jax.numpy as jnp
 from horopose_tpu.models.hrnet import get_hrnet
 from horopose_tpu.tools.torch_weights import convert_hrnet, merge_into
 
-W = 32
-C2 = [W, 2 * W]
-C3 = [W, 2 * W, 4 * W]
-C4 = [W, 2 * W, 4 * W, 8 * W]
-
-
-def synth_pose_hrnet_sd(rng, num_joints=7, depth_dim=64):
+def synth_pose_hrnet_sd(rng, num_joints=7, depth_dim=64, width=32):
+    W = width
+    C2 = [W, 2 * W]
+    C3 = [W, 2 * W, 4 * W]
+    C4 = [W, 2 * W, 4 * W, 8 * W]
     sd = {}
 
     def conv(name, o, i, k):
@@ -128,12 +126,13 @@ def _leaf_paths(tree, prefix=()):
     return out
 
 
-def test_hrnet_converter_full_coverage(rng):
-    model = get_hrnet(32, num_joints=7, depth_dim=64, generate_hm=True,
+@pytest.mark.parametrize("width", [32, 48])
+def test_hrnet_converter_full_coverage(rng, width):
+    model = get_hrnet(width, num_joints=7, depth_dim=64, generate_hm=True,
                       generate_feat=True)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
                            train=False)
-    sd = synth_pose_hrnet_sd(rng)
+    sd = synth_pose_hrnet_sd(rng, width=width)
     tb = convert_hrnet(sd)
     # (a) every converted path exists with the right shape
     new_vars = merge_into(variables, tb)

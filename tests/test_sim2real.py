@@ -76,6 +76,19 @@ def test_missing_teacher_hard_fails(real_ws, tmp_path, monkeypatch):
     assert teacher is not None
 
 
+def test_unresolvable_teacher_camera_hard_fails(tmp_path):
+    """A train set whose name matches no known real camera must raise (the
+    old silent 'azure' default could train against the WRONG teacher)."""
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.pipelines.train_sim2real import load_seg_teacher
+    cfg = make_default_cfg()
+    cfg.train_ds_names = str(tmp_path / "mystery_real_set")
+    with pytest.raises(ValueError, match="azure, kinect, realsense, orb"):
+        load_seg_teacher(cfg)
+    cfg.allow_random_teacher = True
+    assert load_seg_teacher(cfg) is not None  # debug escape hatch
+
+
 def test_sim2real_tiled_rasterizer_smoke(real_ws, tmp_path, monkeypatch):
     """cfg.raster_faces_per_tile > 0 routes the mask render through the
     tile-culled rasterizer and logs the overflow diagnostic."""
