@@ -69,14 +69,20 @@ class DilatedResNet50(nn.Module):
         stage_sizes = (3, 4, 6, 3)
         strides = (1, 2, 1, 1)
         dilations = (1, 1, 2, 4)
+        # torchvision's replace_stride_with_dilation semantics: the FIRST
+        # block of a dilated stage keeps the PREVIOUS dilation (resnet.py
+        # _make_layer passes previous_dilation to block 0, self.dilation to
+        # the rest) — layer3 runs (1,2,2,2,2,2), layer4 runs (2,4,4)
+        prev_d = 1
         for stage, (n, s, d) in enumerate(zip(stage_sizes, strides,
                                               dilations)):
             for i in range(n):
                 x = DilatedBottleneck(
                     filters=64 * 2 ** stage,
                     strides=s if i == 0 else 1,
-                    dilation=d, dtype=self.dtype,
+                    dilation=prev_d if i == 0 else d, dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}")(x, train=train)
+            prev_d = d
         return x  # (B, H/8, W/8, 2048)
 
 

@@ -330,25 +330,31 @@ def convert_ctrnet_seg(sd: Dict[str, np.ndarray]) -> TreeBuilder:
     if "read_out.kps_score_lowres.weight" in sd:
         tb.conv(("read_out",), sd, "read_out.kps_score_lowres",
                 transposed=True)
-    # torchvision DeepLabHead: classifer.0 = ASPP, .1 conv3x3, .2 bn, .4 1x1
-    aspp = "classifer.0.convs"
-    order = []
+    # KeyPointSegNet wraps the DeepLabHead in an extra Sequential
+    # (`self.classifer = Sequential(deeplabv3.children()[1])`,
+    # keypoint_seg_resnet.py:127), so real checkpoints nest one level:
+    # classifer.0.0 = ASPP, .0.1 conv3x3, .0.2 bn, .0.4 final 1x1. The flat
+    # layout (classifer.0 = ASPP, .1/.2/.4 tail) is kept as a fallback for
+    # hand-flattened dumps.
+    head = "classifer.0" if "classifer.0.0.convs.0.0.weight" in sd \
+        else "classifer"
+    aspp = f"{head}.0.convs"
     # ASPP branch creation order in our module: 1x1, rate branches, pool
     if f"{aspp}.0.0.weight" in sd:
         convs = [(f"{aspp}.0.0", f"{aspp}.0.1")]
         for r in (1, 2, 3):
             convs.append((f"{aspp}.{r}.0", f"{aspp}.{r}.1"))
         convs.append((f"{aspp}.4.1", f"{aspp}.4.2"))      # pooling branch
-        convs.append(("classifer.0.project.0", "classifer.0.project.1"))
+        convs.append((f"{head}.0.project.0", f"{head}.0.project.1"))
         for i, (ck, bk) in enumerate(convs):
             if f"{ck}.weight" in sd:
                 tb.conv(("aspp", f"Conv_{i}"), sd, ck)
                 tb.bn(("aspp", f"BatchNorm_{i}"), sd, bk)
-    if "classifer.1.weight" in sd:
-        tb.conv(("cls_conv",), sd, "classifer.1")
-        tb.bn(("cls_bn",), sd, "classifer.2")
-    if "classifer.4.weight" in sd:
-        tb.conv(("cls_final",), sd, "classifer.4")
+    if f"{head}.1.weight" in sd:
+        tb.conv(("cls_conv",), sd, f"{head}.1")
+        tb.bn(("cls_bn",), sd, f"{head}.2")
+    if f"{head}.4.weight" in sd:
+        tb.conv(("cls_final",), sd, f"{head}.4")
     return tb
 
 

@@ -35,20 +35,23 @@ def synth_ctrnet_sd(rng, n_kp=7):
         2048, n_kp, 4, 4).astype(np.float32)
     sd["read_out.kps_score_lowres.bias"] = rng.randn(n_kp).astype(np.float32)
 
-    # torchvision DeepLabHead under the misspelled 'classifer' Sequential:
-    # ASPP convs 0 (1x1) + 1..3 (rate convs) + 4 (pooling branch), project
-    conv("classifer.0.convs.0.0", 256, 2048, 1)
-    bn("classifer.0.convs.0.1", 256)
+    # torchvision DeepLabHead under the misspelled 'classifer' Sequential.
+    # Real checkpoints nest ONE extra level (`Sequential(DeepLabHead)`,
+    # keypoint_seg_resnet.py:127): classifer.0.0 = ASPP, .0.1 conv3x3,
+    # .0.2 bn, .0.4 final 1x1 — confirmed numerically against the
+    # reference's own wiring in test_numeric_parity_ctrnet.py.
+    conv("classifer.0.0.convs.0.0", 256, 2048, 1)
+    bn("classifer.0.0.convs.0.1", 256)
     for r in (1, 2, 3):
-        conv(f"classifer.0.convs.{r}.0", 256, 2048, 3)
-        bn(f"classifer.0.convs.{r}.1", 256)
-    conv("classifer.0.convs.4.1", 256, 2048, 1)
-    bn("classifer.0.convs.4.2", 256)
-    conv("classifer.0.project.0", 256, 256 * 5, 1)
-    bn("classifer.0.project.1", 256)
-    conv("classifer.1", 256, 256, 3)
-    bn("classifer.2", 256)
-    conv("classifer.4", 1, 256, 1, bias=True)
+        conv(f"classifer.0.0.convs.{r}.0", 256, 2048, 3)
+        bn(f"classifer.0.0.convs.{r}.1", 256)
+    conv("classifer.0.0.convs.4.1", 256, 2048, 1)
+    bn("classifer.0.0.convs.4.2", 256)
+    conv("classifer.0.0.project.0", 256, 256 * 5, 1)
+    bn("classifer.0.0.project.1", 256)
+    conv("classifer.0.1", 256, 256, 3)
+    bn("classifer.0.2", 256)
+    conv("classifer.0.4", 1, 256, 1, bias=True)
     return sd
 
 
