@@ -45,6 +45,38 @@ def _hrnet_width(name: str) -> int:
     return 48 if str(name).endswith("48") else 32
 
 
+def conv_transpose_d2s(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """ConvTranspose(kernel 4x4, stride 2, padding SAME, no bias)
+    re-expressed as ONE stride-1 2x2 conv with 4x output channels followed
+    by a depth-to-space interleave.
+
+    Numerically identical to flax nn.ConvTranspose on the same (4,4,in,out)
+    kernel (test_models.py asserts bit-level agreement); on the MXU the
+    2x2 GEMM runs with N = 4*C_out lanes and no input dilation, where the
+    direct lowering convolves a zero-dilated input — each output phase
+    (dy,dx) only ever reads kernel taps ky=2ty+(1-dy), kx=2tx+(1-dx).
+    """
+    import jax
+    kh, kw, cin, cout = kernel.shape
+    assert (kh, kw) == (4, 4), "rewrite specialised to the k4s2 deconv"
+    # flax SAME k4s2 semantics (probe): out[2j+d] sums x[j-1+t]*W[d+2t] for
+    # d=0 and x[j+t]*W[d+2t] for d=1 -> phase kernel = W[dy::2, dx::2],
+    # phase windows offset by (dy, dx) into one padded 2x2 conv
+    phases = [kernel[dy::2, dx::2]
+              for dy in (0, 1) for dx in (0, 1)]       # 4 x (2,2,in,out)
+    kp = jnp.concatenate(phases, axis=-1)              # (2,2,in,4*out)
+    xpad = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    c = jax.lax.conv_general_dilated(
+        xpad, kp.astype(x.dtype), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))    # (B, H+1, W+1, 4C)
+    B, H, W = x.shape[0], x.shape[1], x.shape[2]
+    parts = [c[:, dy:dy + H, dx:dx + W,
+               (2 * dy + dx) * cout:(2 * dy + dx + 1) * cout]
+             for dy in (0, 1) for dx in (0, 1)]
+    s = jnp.stack(parts, axis=3).reshape(B, H, W, 2, 2, cout)
+    return s.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, cout)
+
+
 class FullNet(nn.Module):
     robot_type: str = "panda"
     num_keypoints: int = 7

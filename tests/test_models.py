@@ -156,3 +156,46 @@ def test_fullnet_multi_kp():
     K = jnp.broadcast_to(T.make_K(320.0, 320.0, 32.0, 32.0), (B, 3, 3))
     _, out = _init_and_apply(model, (x, x, k, K))
     assert out["depths"].shape == (B, 3)
+
+
+def test_conv_transpose_d2s_equivalence():
+    """The depth-to-space rewrite of the k4s2 deconv must be numerically
+    identical to flax nn.ConvTranspose on the SAME kernel — it is a pure
+    lowering change (MXU lane packing), not an architecture change."""
+    import flax.linen as nn
+    from horopose_tpu.models.full_net import conv_transpose_d2s
+    rng = np.random.RandomState(3)
+    for (H, W, ci, co) in [(8, 8, 16, 32), (5, 7, 3, 4), (4, 4, 64, 8)]:
+        x = jnp.asarray(rng.randn(2, H, W, ci), jnp.float32)
+        k = jnp.asarray(rng.randn(4, 4, ci, co) * 0.1, jnp.float32)
+        ref = nn.ConvTranspose(co, (4, 4), (2, 2), padding="SAME",
+                               use_bias=False).apply(
+            {"params": {"kernel": k}}, x)
+        got = conv_transpose_d2s(x, k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+        # gradients flow and match too (training uses this path)
+        g_ref = jax.grad(lambda k: nn.ConvTranspose(
+            co, (4, 4), (2, 2), padding="SAME", use_bias=False).apply(
+            {"params": {"kernel": k}}, x).sum())(k)
+        g_got = jax.grad(lambda k: conv_transpose_d2s(x, k).sum())(k)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_stride2_conv_s2d_equivalence():
+    """Space-to-depth stem lowering (a measured-negative perf experiment,
+    PERF_NOTES round 3) must stay numerically identical to the plain
+    stride-2 conv so the bench comparison is apples-to-apples."""
+    import flax.linen as nn
+    from horopose_tpu.models.common import stride2_conv_s2d
+    rng = np.random.RandomState(5)
+    for (k, H, W, ci, co) in [(7, 32, 32, 3, 64), (3, 16, 24, 3, 64),
+                              (3, 16, 16, 64, 32)]:
+        x = jnp.asarray(rng.randn(2, H, W, ci), jnp.float32)
+        w = jnp.asarray(rng.randn(k, k, ci, co) * 0.1, jnp.float32)
+        ref = nn.Conv(co, (k, k), (2, 2), padding=(k - 1) // 2,
+                      use_bias=False).apply({"params": {"kernel": w}}, x)
+        got = stride2_conv_s2d(x, w)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
