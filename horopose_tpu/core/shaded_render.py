@@ -26,11 +26,18 @@ _LINK_PALETTE = np.array([
 def render_shaded(verts_cam: np.ndarray, faces: np.ndarray,
                   K: np.ndarray, image_hw: Tuple[int, int],
                   face_colors: Optional[np.ndarray] = None,
-                  light_dir=(0.3, -0.5, -0.8), ambient: float = 0.35
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Flat-shaded z-buffer render.
+                  light_dir=(0.3, -0.5, -0.8), ambient: float = 0.35,
+                  face_uv: Optional[np.ndarray] = None,
+                  face_tex: Optional[np.ndarray] = None,
+                  textures=()) -> Tuple[np.ndarray, np.ndarray]:
+    """Flat-shaded z-buffer render, optionally textured.
 
     verts_cam (V, 3) camera-frame; faces (F, 3); K (3, 3).
+    face_uv (F, 3, 2) OBJ uv per corner, face_tex (F,) index into
+    `textures` (-1 = flat color), textures: float RGB arrays in [0, 1].
+    Textured faces sample map_Kd with perspective-correct barycentric UVs
+    modulated by the Lambertian term — the reference's pyrender
+    textured/Phong output (urdf_robot.py:277-388, vis.py:369-404).
     Returns (rgb (H, W, 3) uint8, depth (H, W) float with inf background).
     """
     H, W = image_hw
@@ -87,7 +94,22 @@ def render_shaded(verts_cam: np.ndarray, faces: np.ndarray,
         tile_z = zbuf[ymin:ymax, xmin:xmax]
         upd = inside & (depth < tile_z)
         tile_z[upd] = depth[upd]
-        rgb[ymin:ymax, xmin:xmax][upd] = face_colors[fi] * shade[fi]
+        ti = int(face_tex[fi]) if face_tex is not None else -1
+        if ti >= 0 and ti < len(textures) and face_uv is not None:
+            # perspective-correct uv: interpolate uv/z, divide by 1/z
+            uvz = face_uv[fi] / tri_z[fi][:, None]        # (3, 2)
+            u = (w0 * uvz[0, 0] + w1 * uvz[1, 0] + w2 * uvz[2, 0]) * depth
+            v = (w0 * uvz[0, 1] + w1 * uvz[1, 1] + w2 * uvz[2, 1]) * depth
+            tex = textures[ti]
+            th, tw = tex.shape[:2]
+            # OBJ v runs bottom-up; wrap coordinates
+            px = np.clip((np.mod(u, 1.0) * tw).astype(np.int32), 0, tw - 1)
+            py = np.clip(((1.0 - np.mod(v, 1.0)) * th).astype(np.int32),
+                         0, th - 1)
+            color = tex[py[upd], px[upd]]
+            rgb[ymin:ymax, xmin:xmax][upd] = color * shade[fi]
+        else:
+            rgb[ymin:ymax, xmin:xmax][upd] = face_colors[fi] * shade[fi]
 
     return (np.clip(rgb * 255, 0, 255)).astype(np.uint8), zbuf
 
@@ -123,8 +145,18 @@ def render_robot_shaded(robot, robot_mesh, cfg, rot, trans, K, image_hw,
 
     face_link = robot_mesh.vert_link[robot_mesh.faces[:, 0]]
     colors = _LINK_PALETTE[face_link % len(_LINK_PALETTE)]
+    if robot_mesh.face_kd is not None:
+        # material diffuse (MTL Kd / URDF <material> rgba) where declared,
+        # link palette elsewhere (reference: pyrender uses the meshes' own
+        # materials, urdf_robot.py:277-388)
+        kd = np.asarray(robot_mesh.face_kd, np.float32)
+        has = ~np.isnan(kd).any(axis=1)
+        colors = np.where(has[:, None], np.nan_to_num(kd), colors)
     rendered, _ = render_shaded(v_cam, robot_mesh.faces, np.asarray(K),
-                                image_hw, face_colors=colors)
+                                image_hw, face_colors=colors,
+                                face_uv=robot_mesh.face_uv,
+                                face_tex=robot_mesh.face_tex,
+                                textures=robot_mesh.textures)
     blended = None
     if original_image is not None:
         bg = np.asarray(original_image, np.float32)

@@ -60,6 +60,7 @@ class Geometry:
     box_size: Optional[Tuple[float, float, float]] = None
     cylinder: Optional[Tuple[float, float]] = None  # (radius, length)
     sphere_radius: Optional[float] = None
+    rgba: Optional[Tuple[float, float, float, float]] = None  # <material>
 
 
 @dataclass
@@ -136,6 +137,13 @@ def _parse_geometry(node, base_dir: str) -> Optional[Geometry]:
     if geom_node is None:
         return None
     g = Geometry(origin=_parse_origin(node))
+    mat = node.find("material")
+    if mat is not None:
+        color = mat.find("color")
+        if color is not None and color.get("rgba"):
+            vals = tuple(float(v) for v in color.get("rgba").split())
+            if len(vals) == 4:
+                g.rgba = vals
     mesh = geom_node.find("mesh")
     if mesh is not None:
         g.mesh_path = _resolve_mesh_path(mesh.get("filename", ""), base_dir)
