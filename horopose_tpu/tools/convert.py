@@ -25,12 +25,16 @@ from horopose_tpu.tools.torch_weights import (convert_ctrnet_seg,
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("kind", choices=["resnet18", "resnet34", "resnet50",
-                                    "hrnet32", "ctrnet_seg", "fullnet"])
+                                    "hrnet32", "ctrnet_seg", "fullnet",
+                                    "depthnet"])
     p.add_argument("src", help=".pth/.pk torch checkpoint")
     p.add_argument("dst", help="output .msgpack path")
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--rootnet_backbone", default="hrnet32")
     p.add_argument("--image_size", type=int, default=256)
+    p.add_argument("--pred_xy", action="store_true")
+    p.add_argument("--use_offset", action="store_true")
+    p.add_argument("--add_fc", action="store_true")
     args = p.parse_args()
 
     sd = load_torch_file(args.src)
@@ -54,6 +58,17 @@ def main():
         variables = model.init(rng, jnp.zeros((1, 240, 320, 3)),
                                train=False)
         tb = convert_ctrnet_seg(sd)
+    elif args.kind == "depthnet":
+        from horopose_tpu.models.depth_net import RootNet
+        from horopose_tpu.tools.torch_weights import \
+            convert_rootnet_reference_checkpoint
+        model = RootNet(backbone_name=args.backbone, pred_xy=args.pred_xy,
+                        use_offset=args.use_offset, add_fc=args.add_fc,
+                        input_size=args.image_size)
+        s = args.image_size
+        variables = model.init(rng, jnp.zeros((1, s, s, 3)),
+                               jnp.ones((1,)), train=False)
+        tb = convert_rootnet_reference_checkpoint(sd, args.backbone)
     else:  # fullnet
         from horopose_tpu.pipelines.common import build_fullnet
         from horopose_tpu.config import make_default_cfg

@@ -293,6 +293,14 @@ def convert_fullnet_reference_checkpoint(
             tb.bn((f"deconv{i}_bn",), sd, f"deconv_layers.{bi}")
     if "final_layer.weight" in sd:
         tb.conv(("final_layer",), sd, "final_layer")
+    # joint-map variant (reg_joint_map): conv stack + 1x1 head
+    # (full_net.py:228-238 _make_joint_conv_layer, indices 0/3/6 + BN 1/4/7)
+    for i, (ci, bi) in enumerate(((0, 1), (3, 4), (6, 7))):
+        if f"joint_conv_layers.{ci}.weight" in sd:
+            tb.conv((f"joint_conv{i}",), sd, f"joint_conv_layers.{ci}")
+            tb.bn((f"joint_conv{i}_bn",), sd, f"joint_conv_layers.{bi}")
+    if "joint_final_layer.weight" in sd:
+        tb.conv(("joint_final_layer",), sd, "joint_final_layer")
 
     for name in ("fc_pose_1", "fc_pose_2", "decpose", "fc_rot_1", "fc_rot_2",
                  "fc_rot_3", "fc_rot_4", "fc_rot_5", "fc_rot_6", "decrot",
@@ -307,6 +315,46 @@ def convert_fullnet_reference_checkpoint(
         tb._set(tb.params, ("depth_layer", "kernel"),
                 np.transpose(w[:, :, 0, 0]))
         tb._set(tb.params, ("depth_layer", "bias"), sd["depth_layer.bias"])
+    return tb
+
+
+def convert_rootnet_reference_checkpoint(
+        sd: Dict[str, np.ndarray],
+        backbone_name: str = "resnet50") -> TreeBuilder:
+    """Stage-1 DepthNet (RootNet) state dict -> our RootNet tree.
+
+    Reference naming (/root/reference/lib/models/depth_net.py:11-168):
+    backbone.*, deconv_layers.{0,3,6} (+BN at 1/4/7), xy_layer,
+    depth_fc1..5 + depth_bn1..4, depth_layer, offset_layer. Our backbone
+    submodule is auto-named ResNet_0 / HRNet_0 (depth_net.py builds it
+    without an explicit name)."""
+    from horopose_tpu.models.resnet import RESNET_SPECS
+    tb = TreeBuilder()
+    if backbone_name.startswith("hrnet"):
+        sub = convert_hrnet(sd, prefix="backbone.", out_prefix=("HRNet_0",))
+    else:
+        block, sizes = RESNET_SPECS[backbone_name]
+        sub = convert_resnet(sd, sizes, block == "bottleneck",
+                             prefix="backbone.", out_prefix=("ResNet_0",))
+    tb.params.update(sub.params)
+    tb.batch_stats.update(sub.batch_stats)
+    for i, (ci, bi) in enumerate(((0, 1), (3, 4), (6, 7))):
+        if f"deconv_layers.{ci}.weight" in sd:
+            tb.conv((f"deconv{i}",), sd, f"deconv_layers.{ci}",
+                    transposed=True)
+            tb.bn((f"deconv{i}_bn",), sd, f"deconv_layers.{bi}")
+    if "xy_layer.weight" in sd:
+        tb.conv(("xy_layer",), sd, "xy_layer")
+    for i in range(1, 6):
+        if f"depth_fc{i}.weight" in sd:
+            tb.linear((f"fc{i}",), sd, f"depth_fc{i}")
+        if f"depth_bn{i}.weight" in sd:
+            tb.bn((f"fc{i}_bn",), sd, f"depth_bn{i}")
+    for name in ("depth_layer", "offset_layer"):
+        if f"{name}.weight" in sd:
+            w = sd[f"{name}.weight"]           # (out, in, 1, 1) 1x1 conv
+            tb._set(tb.params, (name, "kernel"), np.transpose(w[:, :, 0, 0]))
+            tb._set(tb.params, (name, "bias"), sd[f"{name}.bias"])
     return tb
 
 

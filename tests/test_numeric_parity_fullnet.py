@@ -184,3 +184,90 @@ def test_fullnet_multikp_addfc_numeric_parity(ref_full_net, rng):
     assert rel_err(out["depth"], t_depth) < 2e-4
     assert rel_err(out["pose"], t_pose) < 2e-4
     assert rel_err(out["rot"], t_rot) < 2e-4
+
+
+def _parity_inputs(rng, B=2):
+    x_reg = rng.rand(B, IMG, IMG, 3).astype(np.float32)
+    x_root = rng.rand(B, IMG, IMG, 3).astype(np.float32)
+    k_value = (rng.rand(B) * 1000 + 800).astype(np.float32)
+    K = np.broadcast_to(np.array([[320.0, 0, IMG / 2], [0, 320.0, IMG / 2],
+                                  [0, 0, 1]], np.float32), (B, 3, 3)).copy()
+    return x_reg, x_root, k_value, K
+
+
+def _run_both(ref_full_net, rng, args_over, cfg_over, n_outputs=8):
+    import torch
+    from horopose_tpu.tools.torch_weights import (
+        convert_fullnet_reference_checkpoint, merge_into)
+    args = make_ref_args(**args_over)
+    tmodel = _build_ref_flagship(ref_full_net, args)
+    tmodel.load_state_dict(randomize_state_dict(tmodel.state_dict(), rng))
+    tmodel.eval()
+    x_reg, x_root, k_value, K = _parity_inputs(rng)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x_reg.transpose(0, 3, 1, 2)),
+                       torch.from_numpy(x_root.transpose(0, 3, 1, 2)),
+                       torch.from_numpy(k_value), torch.from_numpy(K))
+    t_out = [t.numpy() for t in t_out[:n_outputs]]
+    fmodel = _our_fullnet(cfg_over)
+    key = jax.random.PRNGKey(0)
+    variables = fmodel.init({"params": key, "dropout": key},
+                            jnp.zeros((1, IMG, IMG, 3)),
+                            jnp.zeros((1, IMG, IMG, 3)), jnp.ones((1,)),
+                            jnp.eye(3)[None], train=False)
+    tb = convert_fullnet_reference_checkpoint(
+        to_numpy_sd(tmodel), args_over.get("backbone_name", "resnet50"),
+        args_over.get("rootnet_backbone_name", "hrnet32"))
+    variables = merge_into(variables, tb)
+    out = fmodel.apply(variables, jnp.asarray(x_reg), jnp.asarray(x_root),
+                       jnp.asarray(k_value), jnp.asarray(K), train=False)
+    return t_out, out
+
+
+def test_fullnet_hrnet_reg_backbone_numeric_parity(ref_full_net, rng):
+    """backbone_name=hrnet32 (the two-head hm+feat HRNet path feeding the
+    integral decoder directly, full_net.py:299-302)."""
+    t_out, out = _run_both(
+        ref_full_net, rng,
+        dict(backbone_name="hrnet32", rootnet_backbone_name="resnet34"),
+        dict(backbone_name="hrnet32", rootnet_backbone_name="resnet34"))
+    t_pose, t_rot, _, t_root_uv, t_depth, t_uvd = t_out[:6]
+    # random weights make the 262k-logit softmax near-uniform, so uvd sits
+    # at ~1e-2 scale and pure relative error over-penalizes ~5e-6 absolute
+    # fp noise; compare with an absolute floor of 1e-5 (|uvd| <= 0.5 by
+    # construction, so 1e-5 is 2e-5 of full scale)
+    for name, ours, theirs, atol in [
+            ("depth", out["depth"], t_depth, 0.0),
+            ("uvd", out["uvd"], t_uvd, 1e-5),
+            ("root_uv", out["root_uv"], t_root_uv, 0.0),
+            ("pose", out["pose"], t_pose, 0.0),
+            ("rot", out["rot"], t_rot, 0.0)]:
+        abs_err = float(np.abs(np.asarray(ours, np.float64)
+                               - np.asarray(theirs, np.float64)).max())
+        assert rel_err(ours, theirs) < 2e-4 or abs_err < atol, \
+            f"{name}: rel {rel_err(ours, theirs)}, abs {abs_err}"
+
+
+def test_fullnet_jointmap_matmulrot_numeric_parity(ref_full_net, rng):
+    """reg_joint_map (conv stack + 1-D joint soft-argmax, full_net.py:313-316)
+    + rot_iterative_matmul (rotmat-composition updates, full_net.py:348-363).
+    This test exposed a converter gap: joint_conv_layers/joint_final_layer
+    were not mapped at all before round 3."""
+    t_out, out = _run_both(
+        ref_full_net, rng,
+        dict(reg_joint_map=True, joint_conv_dim=[256, 256, 256],
+             rot_iterative_matmul=True),
+        dict(reg_joint_map=True, joint_conv_dim=[256, 256, 256],
+             rot_iterative_matmul=True))
+    t_pose, t_rot = t_out[0], t_out[1]
+    assert rel_err(out["pose"], t_pose) < 2e-4, rel_err(out["pose"], t_pose)
+    assert rel_err(out["rot"], t_rot) < 5e-4, rel_err(out["rot"], t_rot)
+
+
+def test_fullnet_direct_reg_rot_numeric_parity(ref_full_net, rng):
+    """direct_reg_rot: the 6-layer MLP rotation head with the xc1 skip
+    (full_net.py:333-346)."""
+    t_out, out = _run_both(ref_full_net, rng, dict(direct_reg_rot=True),
+                           dict(direct_reg_rot=True))
+    assert rel_err(out["rot"], t_out[1]) < 2e-4, rel_err(out["rot"], t_out[1])
+    assert rel_err(out["pose"], t_out[0]) < 2e-4
