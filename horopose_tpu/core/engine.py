@@ -429,7 +429,12 @@ def build_full_eval_step(cfg, model, robot, pnp_fn: Optional[Callable] = None):
                                      train=False, dropout_rng=None)
         loss, loss_dict = compute_full_losses(cfg, preds, gts, other_K)
         rot_pred_mat = rot_to_rotmat(preds["rot"])
-        rot_gt_mat = rot_to_rotmat(gts["gt_root_rot"])
+        # reference quirk, reproduced for scalar-level parity: validate()'s
+        # rotation_diff compares against the BASE rotation gt_rot
+        # (function.py:177-180), even though the loss and the test harness
+        # use the root-frame gt_root_rot (test.py:172-177) — verified by
+        # test_numeric_parity_engine.py
+        rot_gt_mat = rot_to_rotmat(gts["gt_rot"])
         rotation_diff = jnp.mean(geodesic_distance(rot_pred_mat, rot_gt_mat))
         logs = dict(loss=loss, rotation_diff=rotation_diff, **loss_dict)
         return preds, gts, logs

@@ -27,6 +27,7 @@ Nothing here copies reference code — it IMPORTS it, for tests only.
 
 from __future__ import annotations
 
+import os
 import sys
 import types
 
@@ -69,8 +70,14 @@ class BridgeURDFRobot:
     compiled-plan kinematics (horopose_tpu/kinematics)."""
 
     def __init__(self, robot_type):
+        from horopose_tpu import constants as C
         from horopose_tpu.kinematics import Robot
         self._robot = Robot(robot_type)
+        # surface the attributes the reference engine/metrics read
+        # (function.py:103-106, metrics.py:36-37,84)
+        self.robot_type = robot_type
+        self.dof = self._robot.dof
+        self.link_names = list(C.KEYPOINT_NAMES[robot_type])
 
     @staticmethod
     def _j(t):
@@ -122,6 +129,22 @@ def setup_reference_imports():
     _stub_module("torchvision.models")
     _stub_module("torchvision.ops")
     _stub_module("kornia")
+
+    class _AverageValueMeter:  # torchnet.meter surface used by function.py
+        def __init__(self):
+            self.n, self.s = 0, 0.0
+
+        def add(self, v, n=1):
+            self.n += n
+            self.s += float(v) * n
+
+        def value(self):
+            return (self.s / max(self.n, 1), 0.0)
+
+        def reset(self):
+            self.n, self.s = 0, 0.0
+    _stub_module("torchnet")
+    _stub_module("torchnet.meter", AverageValueMeter=_AverageValueMeter)
     urdf_stub = _stub_module("utils.urdf_robot", URDFRobot=BridgeURDFRobot)
     urdf_stub.__package__ = "utils"
     # the reference hard-pins device 0 (`.cuda()`, `.cuda(device=0)`) —
@@ -130,6 +153,11 @@ def setup_reference_imports():
     torch.nn.Module.cuda = lambda self, *a, **k: self
     if REF_LIB not in sys.path:
         sys.path.append(REF_LIB)
+    # lib.core.function imports via the `lib.` namespace (lib.dataset.const,
+    # lib.utils.BPnP, ...), so the reference ROOT must be importable too
+    ref_root = os.path.dirname(REF_LIB)
+    if ref_root not in sys.path:
+        sys.path.append(ref_root)
     _ready = True
 
 

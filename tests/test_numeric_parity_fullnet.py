@@ -271,3 +271,63 @@ def test_fullnet_direct_reg_rot_numeric_parity(ref_full_net, rng):
                            dict(direct_reg_rot=True))
     assert rel_err(out["rot"], t_out[1]) < 2e-4, rel_err(out["rot"], t_out[1])
     assert rel_err(out["pose"], t_out[0]) < 2e-4
+
+
+@pytest.mark.parametrize("robot_type", ["kuka", "baxter"])
+def test_fullnet_other_robots_numeric_parity(ref_full_net, rng, robot_type):
+    """Kuka (DoF 7 / 8 kpts) and Baxter (DoF 15 / 17 kpts): exercises the
+    per-robot DoF/nkpt table (full_net.py:43-53) and the INITIAL_JOINT_ANGLE
+    mean-pose buffers end-to-end — the init_pose/init_rot buffers are NOT
+    randomized, so a mismatch between the reference's tables and our
+    constants would show up directly in the pose/rot head outputs."""
+    import torch
+    from horopose_tpu import constants as C
+    from horopose_tpu.tools.torch_weights import (
+        convert_fullnet_reference_checkpoint, merge_into)
+    from dataset.const import INITIAL_JOINT_ANGLE
+
+    args = make_ref_args(backbone_name="resnet34",
+                         rootnet_backbone_name="resnet34")
+    init_param_dict = {
+        "robot_type": robot_type,
+        "pose_params": INITIAL_JOINT_ANGLE,
+        "cam_params": np.eye(4, dtype=float),
+        "init_pose_from_mean": True,
+    }
+    tmodel = ref_full_net.RootNetwithRegInt(init_param_dict, args)
+    tmodel.load_state_dict(randomize_state_dict(tmodel.state_dict(), rng))
+    tmodel.eval()
+
+    x_reg, x_root, k_value, K = _parity_inputs(rng)
+    with torch.no_grad():
+        t_out = tmodel(torch.from_numpy(x_reg.transpose(0, 3, 1, 2)),
+                       torch.from_numpy(x_root.transpose(0, 3, 1, 2)),
+                       torch.from_numpy(k_value), torch.from_numpy(K))
+    t_pose, t_rot, t_trans, t_root_uv, t_depth, t_uvd, t_xyz_int, t_xyz_fk \
+        = [t.numpy() for t in t_out]
+    assert t_pose.shape == (2, C.DOF[robot_type])
+    assert t_uvd.shape == (2, C.NUM_KEYPOINTS[robot_type], 3)
+
+    fmodel = _our_fullnet(dict(urdf_robot_name=robot_type,
+                               backbone_name="resnet34",
+                               rootnet_backbone_name="resnet34"))
+    key = jax.random.PRNGKey(0)
+    variables = fmodel.init({"params": key, "dropout": key},
+                            jnp.zeros((1, IMG, IMG, 3)),
+                            jnp.zeros((1, IMG, IMG, 3)), jnp.ones((1,)),
+                            jnp.eye(3)[None], train=False)
+    variables = merge_into(variables, convert_fullnet_reference_checkpoint(
+        to_numpy_sd(tmodel), "resnet34", "resnet34"))
+    out = fmodel.apply(variables, jnp.asarray(x_reg), jnp.asarray(x_root),
+                       jnp.asarray(k_value), jnp.asarray(K), train=False)
+    from horopose_tpu.kinematics import Robot
+    f_fk = Robot(robot_type).get_keypoints_root(
+        out["pose"], out["rot"], out["trans"], root=3)
+    for name, ours, theirs in [("pose", out["pose"], t_pose),
+                               ("rot", out["rot"], t_rot),
+                               ("trans", out["trans"], t_trans),
+                               ("depth", out["depth"], t_depth),
+                               ("xyz_int", out["xyz_int"], t_xyz_int),
+                               ("xyz_fk", f_fk, t_xyz_fk)]:
+        assert rel_err(ours, theirs) < 2e-4, \
+            f"{robot_type} {name}: {rel_err(ours, theirs)}"
