@@ -240,7 +240,12 @@ class DreamDataset:
         rgb_path = Path(row["rgb_path"])
         rgb = self.decode_cache.get(idx) if self.decode_cache else None
         if rgb is None:
-            rgb = np.asarray(Image.open(rgb_path).convert("RGB"))
+            # native libjpeg decode (byte-identical to PIL, GIL-released —
+            # native/dream_ops.cpp); PIL fallback when unavailable
+            from horopose_tpu.native import decode_jpeg
+            rgb = decode_jpeg(str(rgb_path))
+            if rgb is None:
+                rgb = np.asarray(Image.open(rgb_path).convert("RGB"))
             if self.decode_cache is not None:
                 self.decode_cache.put(idx, rgb)
         h, w = rgb.shape[:2]

@@ -25,10 +25,18 @@ _tried = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-           _SRC, "-o", _SO]
+    base = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+            _SRC, "-o", _SO]
+    try:  # with libjpeg (decode path); fall back to crop-only without it
+        subprocess.run(base + ["-ljpeg"], check=True, capture_output=True,
+                       timeout=120)
+        return True
+    except Exception:
+        pass
     try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        subprocess.run(base + ["-DHOROPOSE_NO_JPEG"], check=True,
+                       capture_output=True, timeout=120)
+        print("[native] built without libjpeg (decode falls back to PIL)")
         return True
     except Exception as e:
         print(f"[native] build failed ({e}); using Python fallback")
@@ -56,10 +64,49 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.crop_resize_bilinear_batch.argtypes = [
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int]
+            if hasattr(lib, "jpeg_dims"):  # absent in the no-libjpeg build
+                lib.jpeg_dims.argtypes = [
+                    ctypes.c_void_p, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_int),
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.jpeg_dims.restype = ctypes.c_int
+                lib.jpeg_decode_rgb.argtypes = [
+                    ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+                    ctypes.c_int, ctypes.c_int]
+                lib.jpeg_decode_rgb.restype = ctypes.c_int
             _lib = lib
         except Exception as e:
             print(f"[native] load failed ({e}); using Python fallback")
         return _lib
+
+
+def decode_jpeg(path_or_bytes) -> Optional[np.ndarray]:
+    """Decode a jpeg to RGB uint8 (H, W, 3) with the system libjpeg —
+    byte-identical to PIL's Image.open(...).convert("RGB") (same library,
+    same JDCT_ISLOW method; asserted in tests/test_native.py). Returns None
+    when the native library lacks the decode path or the file isn't a
+    plain jpeg (caller falls back to PIL)."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "jpeg_dims"):
+        return None
+    if isinstance(path_or_bytes, (bytes, bytearray)):
+        data = bytes(path_or_bytes)
+    else:
+        try:
+            with open(path_or_bytes, "rb") as f:
+                data = f.read()
+        except OSError:
+            return None
+    buf = np.frombuffer(data, np.uint8)
+    h, w = ctypes.c_int(0), ctypes.c_int(0)
+    if lib.jpeg_dims(buf.ctypes.data, len(data), ctypes.byref(h),
+                     ctypes.byref(w)):
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    if lib.jpeg_decode_rgb(buf.ctypes.data, len(data), out.ctypes.data,
+                           h.value, w.value):
+        return None
+    return out
 
 
 def crop_resize_bilinear(src: np.ndarray, bbox, size: int

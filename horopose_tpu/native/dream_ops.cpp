@@ -94,3 +94,93 @@ void crop_resize_bilinear_batch(const uint8_t* src, int N, int H, int W,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+#ifndef HOROPOSE_NO_JPEG
+// JPEG decode via the system libjpeg — the same library PIL wraps, with the
+// same default DCT method (JDCT_ISLOW), so the decoded bytes match
+// Image.open(...).convert("RGB") exactly (asserted by
+// tests/test_native.py::test_native_jpeg_decode_matches_pil). The ctypes
+// call releases the GIL, so thread-pool data workers decode truly in
+// parallel, and the PIL object plumbing disappears from the hot loop.
+
+#include <cstdio>   // jpeglib.h needs FILE declared first
+#include <jpeglib.h>
+#include <csetjmp>
+
+namespace {
+struct ErrMgr {
+    jpeg_error_mgr pub;
+    jmp_buf jb;
+};
+
+void on_error(j_common_ptr cinfo) {
+    longjmp(reinterpret_cast<ErrMgr*>(cinfo->err)->jb, 1);
+}
+}  // namespace
+
+extern "C" {
+
+// Parse the header only: fills (height, width). Returns 0 on success.
+int jpeg_dims(const uint8_t* data, long len, int* h, int* w) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr err;
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    if (setjmp(err.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    cinfo.out_color_space = JCS_RGB;
+    jpeg_calc_output_dimensions(&cinfo);
+    *h = static_cast<int>(cinfo.output_height);
+    *w = static_cast<int>(cinfo.output_width);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// Full decode into caller-allocated dst (h*w*3). Returns 0 on success.
+int jpeg_decode_rgb(const uint8_t* data, long len, uint8_t* dst,
+                    int h, int w) {
+    jpeg_decompress_struct cinfo;
+    ErrMgr err;
+    cinfo.err = jpeg_std_error(&err.pub);
+    err.pub.error_exit = on_error;
+    if (setjmp(err.jb)) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, data, static_cast<unsigned long>(len));
+    if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    cinfo.out_color_space = JCS_RGB;     // gray/YCbCr -> RGB like PIL
+    cinfo.dct_method = JDCT_ISLOW;       // PIL's default
+    jpeg_start_decompress(&cinfo);
+    if (static_cast<int>(cinfo.output_height) != h ||
+        static_cast<int>(cinfo.output_width) != w ||
+        cinfo.output_components != 3) {
+        jpeg_abort_decompress(&cinfo);
+        jpeg_destroy_decompress(&cinfo);
+        return 1;
+    }
+    const size_t stride = static_cast<size_t>(w) * 3;
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = dst + cinfo.output_scanline * stride;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+}  // extern "C"
+#endif  // HOROPOSE_NO_JPEG

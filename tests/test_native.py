@@ -114,3 +114,34 @@ def test_native_throughput_beats_pil(lib, rng):
     t_pil = time.perf_counter() - t0
     print(f"native {t_native / n * 1e3:.2f}ms vs python {t_pil / n * 1e3:.2f}ms")
     assert t_native < t_pil
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """The libjpeg decode path must be BYTE-IDENTICAL to
+    Image.open(...).convert('RGB') — same library, same DCT method — so the
+    decode cache and all GT pixels are invariant to which path filled them."""
+    from PIL import Image
+    from horopose_tpu.native import decode_jpeg, get_lib
+    if get_lib() is None or not hasattr(get_lib(), "jpeg_dims"):
+        pytest.skip("native decode unavailable")
+    rng = np.random.RandomState(7)
+    for i, (h, w, quality) in enumerate([(480, 640, 95), (33, 47, 60),
+                                         (128, 128, 100)]):
+        arr = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        p = tmp_path / f"t{i}.jpg"
+        Image.fromarray(arr).save(p, quality=quality)
+        ours = decode_jpeg(str(p))
+        ref = np.asarray(Image.open(p).convert("RGB"))
+        assert ours is not None and ours.shape == ref.shape
+        np.testing.assert_array_equal(ours, ref)
+    # grayscale jpeg -> RGB conversion parity
+    g = rng.randint(0, 255, (40, 50), dtype=np.uint8)
+    p = tmp_path / "gray.jpg"
+    Image.fromarray(g, mode="L").save(p, quality=90)
+    ours = decode_jpeg(str(p))
+    ref = np.asarray(Image.open(p).convert("RGB"))
+    np.testing.assert_array_equal(ours, ref)
+    # non-jpeg bytes -> graceful None (PIL fallback path)
+    bad = tmp_path / "bad.jpg"
+    bad.write_bytes(b"definitely not a jpeg")
+    assert decode_jpeg(str(bad)) is None
