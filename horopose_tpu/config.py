@@ -171,6 +171,8 @@ def make_default_cfg() -> AttrDict:
     cfg.xy_loss_func = "l1"
     cfg.allow_random_teacher = False  # sim2real hard-fails on a missing
     #                                   seg teacher unless explicitly allowed
+    cfg.allow_random_init = False     # ... and on missing synth-pretrained
+    #                                   weights (train_sim2real.py:100-102)
     cfg.mask_loss_func = "mse_mean"
     cfg.mask_loss_weight = 0.0
     cfg.scale_loss_weight = 0.0

@@ -218,10 +218,26 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     state, rng = init_fullnet_state(cfg, model, tx)
 
     if cfg.pretrained_weight_on_synth:
+        from flax import serialization
         payload = load_checkpoint_file(cfg.pretrained_weight_on_synth)
-        state = restore_state(state, payload)
-        print(f"[sim2real] loaded synth-pretrained weights from "
-              f"{cfg.pretrained_weight_on_synth}")
+        # WEIGHTS ONLY: the reference re-creates Adam fresh for stage 3
+        # (train_sim2real.py:90-99 loads model_state_dict into a model whose
+        # optimizer was just constructed) — stage-2 Adam moments and step
+        # count must NOT leak into the fine-tune
+        state = state.replace(
+            params=serialization.from_state_dict(state.params,
+                                                 payload["params"]),
+            batch_stats=serialization.from_state_dict(
+                state.batch_stats, payload["batch_stats"]))
+        print(f"[sim2real] loaded synth-pretrained weights (weights only) "
+              f"from {cfg.pretrained_weight_on_synth}")
+    elif not cfg.resume_run and not cfg.get("allow_random_init"):
+        # reference parity: refusing to self-train from random init
+        # (train_sim2real.py:100-102 `assert 0`)
+        raise ValueError(
+            "sim2real needs pretrained_weight_on_synth (a stage-2 "
+            "checkpoint) or resume_run; self-training from random init "
+            "produces garbage. Set allow_random_init: True for debug runs.")
 
     if seg_teacher is None:
         seg_teacher = load_seg_teacher(cfg)

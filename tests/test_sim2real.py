@@ -31,7 +31,7 @@ def test_sim2real_smoke(real_ws, tmp_path, monkeypatch):
         backbone_name="resnet50", rootnet_backbone_name="resnet34",
         mask_loss_func="mse_mean", mask_loss_weight=1.0, iou_loss_weight=1.0,
         scale_loss_weight=0.1, align_3d_loss_weight=1.0,
-        reference_keypoint_id=3)
+        reference_keypoint_id=3, allow_random_init=True)
     path = base / "s2r.yaml"
     path.write_text(yaml.safe_dump(cfg_yaml))
     cfg = make_cfg(str(path))
@@ -102,7 +102,8 @@ def test_sim2real_tiled_rasterizer_smoke(real_ws, tmp_path, monkeypatch):
         backbone_name="resnet18", rootnet_backbone_name="resnet18",
         mask_loss_func="mse_mean", mask_loss_weight=1.0, iou_loss_weight=1.0,
         scale_loss_weight=0.1, align_3d_loss_weight=1.0,
-        reference_keypoint_id=3, raster_faces_per_tile=256)
+        reference_keypoint_id=3, raster_faces_per_tile=256,
+        allow_random_init=True)
     path = base / "s2r_tiled.yaml"
     path.write_text(yaml.safe_dump(cfg_yaml))
     cfg = make_cfg(str(path))
@@ -117,3 +118,65 @@ def test_sim2real_tiled_rasterizer_smoke(real_ws, tmp_path, monkeypatch):
     log = os.path.join("experiments", "s2r_tiled", "log", "scalars.jsonl")
     tags = [json.loads(line)["tag"] for line in open(log)]
     assert "Train/cull_overflow" in tags
+
+
+def test_sim2real_synth_handoff_is_weights_only(real_ws, tmp_path,
+                                                monkeypatch):
+    """Stage-2 -> stage-3 handoff parity: the reference loads ONLY
+    model_state_dict into a freshly-constructed optimizer
+    (train_sim2real.py:90-99) — stage-2 Adam moments and step count must
+    not leak into the fine-tune. And without pretrained weights it refuses
+    to run (train_sim2real.py:100-102 `assert 0`)."""
+    import jax.numpy as jnp
+    base, train_dir = real_ws
+    monkeypatch.chdir(tmp_path)
+    from horopose_tpu.config import make_cfg
+    from horopose_tpu.core.checkpoint import save_checkpoint_file
+    from horopose_tpu.core.engine import create_train_state, make_optimizer
+    from horopose_tpu.models.deeplab import SegTeacher
+    from horopose_tpu.pipelines.common import build_fullnet
+    from horopose_tpu.pipelines.train_sim2real import train_sim2real
+    from flax import serialization
+
+    cfg_yaml = dict(
+        exp_name="s2r_handoff", urdf_robot_name="panda", batch_size=2,
+        epoch_size=2, n_epochs=1, n_dataloader_workers=2, image_size=64.0,
+        lr=1e-6, clip_gradient=5.0, use_schedule=False, use_sim2real=True,
+        backbone_name="resnet18", rootnet_backbone_name="resnet18",
+        mask_loss_func="mse_mean", mask_loss_weight=1.0, iou_loss_weight=1.0,
+        scale_loss_weight=0.0, align_3d_loss_weight=0.0,
+        reference_keypoint_id=3)
+    path = base / "s2r_handoff.yaml"
+    path.write_text(yaml.safe_dump(cfg_yaml))
+    cfg = make_cfg(str(path))
+    cfg.train_ds_names = str(train_dir)
+    teacher = SegTeacher.init_random(jax.random.PRNGKey(0),
+                                     image_hw=(480, 640), scale=0.1)
+
+    # no pretrained weights, no resume, no debug flag -> refuse
+    with pytest.raises(ValueError, match="pretrained_weight_on_synth"):
+        train_sim2real(cfg, max_epochs=0, seg_teacher=teacher)
+
+    # fabricate a stage-2 checkpoint with recognizable params and a
+    # DIRTY optimizer state (nonzero step) to prove it is NOT carried over
+    model = build_fullnet(cfg)
+    rng = jax.random.PRNGKey(5)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 64, 64, 3)), jnp.ones((1,)),
+                           jnp.eye(3)[None], train=False)
+    s2_state = create_train_state(variables, make_optimizer(cfg, 1))
+    s2_state = s2_state.replace(step=np.int32(777))
+    ckpt = str(base / "synth_ckpt.pk")
+    save_checkpoint_file(ckpt, epoch=9, metric=0.5, state=s2_state)
+
+    cfg.pretrained_weight_on_synth = ckpt
+    state = train_sim2real(cfg, max_epochs=0, seg_teacher=teacher)
+    # weights match the stage-2 checkpoint...
+    want = serialization.to_state_dict(s2_state.params)
+    got = serialization.to_state_dict(state.params)
+    k0 = np.asarray(got["reg_backbone"]["conv1"]["kernel"])
+    np.testing.assert_allclose(
+        k0, np.asarray(want["reg_backbone"]["conv1"]["kernel"]), rtol=1e-6)
+    # ...but the optimizer/step are FRESH
+    assert int(state.step) == 0
