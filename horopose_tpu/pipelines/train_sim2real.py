@@ -181,6 +181,71 @@ def build_sim2real_train_step(cfg, model, robot, robot_mesh, seg_teacher, tx,
         return jax.jit(_step, donate_argnums=(0,))
 
 
+def _worst_view_ids(eval_step, state, loader, batch_size, n=20):
+    """Hardest samples by FK 3D keypoint error, for the per-epoch tracking
+    views (reference: validate(get_lowest=True) at epoch 0 picks every 5th
+    of the 100 worst view ids, train_sim2real.py:582-592)."""
+    import jax.numpy as jnp
+    from horopose_tpu.data.samplers import pad_batch
+    ids, errs = [], []
+    for batch in loader:
+        bsz = batch["TCO"].shape[0]
+        batch, n_valid = pad_batch(batch, batch_size)
+        jb = jax.tree.map(jnp.asarray, batch)
+        preds, gts, _ = eval_step(state, jb)
+        e = np.linalg.norm(np.asarray(preds["xyz_fk"])
+                           - np.asarray(gts["gt_keypoints3d"]),
+                           axis=-1).mean(axis=1)
+        ids.extend(np.asarray(batch["image_id"])[:n_valid].tolist())
+        errs.extend(e[:n_valid].tolist())
+        del bsz
+    order = np.argsort(errs)[::-1]                 # worst first
+    picked = order[:100][::5][:n]
+    return [int(ids[i]) for i in picked]
+
+
+def _render_tracked_views(cfg, robot, robot_mesh, seg_teacher, eval_step,
+                          state, ds, view_ids, epoch, save_folder,
+                          batch_size):
+    """Rendered-vs-teacher silhouette stacks for the tracked worst views,
+    written each epoch (reference train_sim2real.py:627-634)."""
+    import jax.numpy as jnp
+    from horopose_tpu.data.samplers import collate, pad_batch
+    from horopose_tpu.core.vis import save_silhouette_comparison
+    from horopose_tpu.ops.rasterizer import render_robot_silhouette
+    if not view_ids:
+        return
+    prev = ds.return_original_image
+    ds.return_original_image = True
+    try:
+        samples = [ds[i] for i in view_ids]
+    finally:
+        ds.return_original_image = prev
+    out_hw = seg_teacher.out_hw
+    track_dir = os.path.join(save_folder, "track")
+    # chunks of batch_size: reuse the already-compiled eval step
+    for c0 in range(0, len(samples), batch_size):
+        chunk = samples[c0:c0 + batch_size]
+        batch = collate(chunk)
+        originals = batch.pop("images_original")
+        batch, n_valid = pad_batch(batch, batch_size)
+        preds, _, _ = eval_step(state, jax.tree.map(jnp.asarray, batch))
+        masks = np.asarray(seg_teacher(jnp.asarray(originals)))
+        scale = out_hw[0] / float(originals.shape[1])
+        K_r = np.asarray(batch["K_original"][:n_valid], np.float32) * scale
+        K_r[:, 2, 2] = 1.0
+        rendered = np.asarray(render_robot_silhouette(
+            robot, robot_mesh, jnp.asarray(preds["pose"])[:n_valid],
+            jnp.asarray(preds["rot"])[:n_valid],
+            jnp.asarray(preds["trans"])[:n_valid], jnp.asarray(K_r), out_hw,
+            root=int(cfg.reference_keypoint_id),
+            faces_per_tile=int(cfg.get("raster_faces_per_tile") or 0)))
+        for j, vid in enumerate(view_ids[c0:c0 + n_valid]):
+            save_silhouette_comparison(
+                rendered[j], masks[j],
+                os.path.join(track_dir, f"epoch{epoch:03d}_view{vid}.jpg"))
+
+
 def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                    seg_teacher=None):
     set_seed()
@@ -253,6 +318,18 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     mesh = make_mesh(int(np.prod(cfg.mesh_shape))) if cfg.mesh_shape else None
 
     n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
+    # worst-case tracking views, picked ONCE before training (reference:
+    # epoch-0 validate(get_lowest=True), train_sim2real.py:627-634); their
+    # rendered-vs-teacher stacks are re-written every epoch under
+    # <exp>/track/
+    track_n = int(cfg.get("track_worst_n", 20) or 0)
+    tracked = {}
+    if track_n > 0 and n_epochs > 0:
+        for name, loader in cfg_loaders["test"].items():
+            tracked[name] = _worst_view_ids(eval_step, state, loader,
+                                            cfg.batch_size, n=track_n)
+            print(f"[sim2real] tracking worst views on {name}: "
+                  f"{tracked[name]}")
     for epoch in range(n_epochs):
         meters = {t: AverageMeter() for t in
                   ("loss", "loss_mask", "loss_iou", "loss_scale",
@@ -277,6 +354,14 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
         for name, loader in cfg_loaders["test"].items():
             auc_adds[name] = validate_full(cfg, robot, eval_step, state,
                                            loader, writer, epoch, name, mesh)
+            if tracked.get(name):
+                try:
+                    _render_tracked_views(
+                        cfg, robot, robot_mesh, seg_teacher, eval_step,
+                        state, loader.dataset, tracked[name], epoch,
+                        save_folder, cfg.batch_size)
+                except Exception as e:  # tracking must never kill training
+                    print(f"[sim2real] tracking render failed: {e}")
         keeper.maybe_save(auc_adds, state, epoch)
         print(f"[sim2real] epoch {epoch}: loss={meters['loss'].mean:.4f} "
               f"mask={meters['loss_mask'].mean:.4f} auc={auc_adds}")

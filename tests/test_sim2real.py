@@ -48,6 +48,12 @@ def test_sim2real_smoke(real_ws, tmp_path, monkeypatch):
     text = open(log).read()
     assert "Train/loss_mask" in text
     assert "Train/loss_iou" in text
+    # worst-case tracking views rendered each epoch (reference
+    # train_sim2real.py:627-634): red/blue silhouette stacks under track/
+    import glob
+    tracked = glob.glob(os.path.join("experiments", "s2r_smoke", "track",
+                                     "epoch000_view*.jpg"))
+    assert tracked, "no worst-case tracking renders written"
 
 
 def test_seg_teacher_shapes():
