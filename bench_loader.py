@@ -25,6 +25,11 @@ import time
 # parent holds the tunnel — see CLAUDE.md)
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+try:  # the env var alone is too late if jax was already initialized
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -159,14 +159,18 @@ def draw_add_curve(alldis: dict, result_path: str, test_ds_name: str,
 
 
 def render_mesh(image: np.ndarray, robot, robot_mesh, cfg, rot, trans, K,
-                blend: float = 0.7) -> np.ndarray:
+                blend: float = 0.7, root: int = 0) -> np.ndarray:
     """Mesh render blended over the frame — the reference's pyrender path
     (/root/reference/lib/utils/vis.py:369-404, urdf_robot.py:277-388).
     Uses the textured z-buffer renderer (core/shaded_render.py): OBJ
     map_Kd textures / MTL Kd / URDF material colors when the robot mesh
-    was built with_appearance=True, link-palette flat shading otherwise."""
+    was built with_appearance=True, link-palette flat shading otherwise.
+
+    `root` must be the config's reference_keypoint_id when rendering model
+    predictions: (rot, trans) place keypoint-link `root` in the camera
+    (flagship configs use 3), not the base."""
     from horopose_tpu.core.shaded_render import render_robot_shaded
     _, blended = render_robot_shaded(robot, robot_mesh, cfg, rot, trans, K,
-                                     image.shape[:2], original_image=image,
-                                     blend=blend)
+                                     image.shape[:2], root=root,
+                                     original_image=image, blend=blend)
     return blended

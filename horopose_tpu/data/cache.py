@@ -157,19 +157,33 @@ class DecodedImageCache:
                     self._open_existing()
                     return
                 try:
-                    age = time.time() - self._lock_path.stat().st_mtime
+                    st = self._lock_path.stat()
                 except OSError:  # lock released; meta imminent OR failed
                     if not self._meta_path.exists():
                         stale = True
                         break
                     continue
-                if age > _LOCK_STALE_S:
-                    stale = True
+                if time.time() - st.st_mtime > _LOCK_STALE_S:
+                    # Claim the steal ATOMICALLY: rename(2) succeeds for
+                    # exactly one waiter (a bare unlink would let a second
+                    # waiter delete the first stealer's freshly won lock
+                    # and re-elect a concurrent creator whose mode="w+"
+                    # truncates files the first has already mapped), then
+                    # verify BY INODE that what we moved is the stale lock
+                    # we measured — not a fresh one re-created in between.
+                    claim = str(self._lock_path) + ".stale"
                     try:
-                        self._lock_path.unlink()
+                        os.replace(self._lock_path, claim)
+                        if os.stat(claim).st_ino == st.st_ino:
+                            stale = True
+                            break
+                        # we displaced someone's LIVE lock: put it back and
+                        # wait for that creator's meta on a fresh deadline
+                        os.replace(claim, self._lock_path)
                     except OSError:
-                        pass
-                    break
+                        pass  # another waiter claimed it first
+                    deadline = time.monotonic() + _WAIT_S
+                    continue
                 time.sleep(0.01)
             if self._meta_path.exists():
                 self._open_existing()

@@ -58,7 +58,13 @@ def stride2_conv_s2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
     """
     import jax
     k = kernel.shape[0]
-    assert k % 2 == 1 and kernel.shape[1] == k, "odd square kernels only"
+    # the front-pad-by-one phase alignment below is exact only for
+    # k ≡ 3 (mod 4) — i.e. the 3x3 and 7x7 stems this helper exists for;
+    # k=5/k=9 would need a different pad split and are rejected loudly
+    if k % 4 != 3 or kernel.shape[1] != k:
+        raise ValueError("stride2_conv_s2d supports square kernels with "
+                         "k % 4 == 3 (3, 7, 11, ...); got "
+                         f"{kernel.shape}")
     p = (k - 1) // 2                 # the original SAME padding
     T = (k + 1) // 2                 # taps per axis in packed space
     pad_top = (p + 1) // 2

@@ -80,14 +80,57 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
 
 
+_decode_ok: Optional[bool] = None
+
+
+def _verify_decode_parity(lib) -> bool:
+    """One-time canary: the decode cache assumes 'decoding image i always
+    yields the same bytes' regardless of which worker (native or
+    PIL-fallback) filled the slot. PIL bundles its own libjpeg(-turbo);
+    if the SYSTEM libjpeg this .so linked against ever disagrees (e.g.
+    different fancy-upsampling), disable the native path on this host."""
+    global _decode_ok
+    if _decode_ok is not None:
+        return _decode_ok
+    try:
+        import io
+        from PIL import Image
+        rng = np.random.RandomState(0)
+        arr = rng.randint(0, 255, (64, 80, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=92)
+        data = buf.getvalue()
+        ref = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        raw = np.frombuffer(data, np.uint8)
+        h, w = ctypes.c_int(0), ctypes.c_int(0)
+        ours = None
+        if not lib.jpeg_dims(raw.ctypes.data, len(data), ctypes.byref(h),
+                             ctypes.byref(w)):
+            ours = np.empty((h.value, w.value, 3), np.uint8)
+            if lib.jpeg_decode_rgb(raw.ctypes.data, len(data),
+                                   ours.ctypes.data, h.value, w.value):
+                ours = None
+        _decode_ok = ours is not None and ours.shape == ref.shape and \
+            bool(np.array_equal(ours, ref))
+        if not _decode_ok:
+            print("[native] system libjpeg disagrees with PIL's; native "
+                  "jpeg decode disabled on this host")
+    except Exception:
+        _decode_ok = False
+    return _decode_ok
+
+
 def decode_jpeg(path_or_bytes) -> Optional[np.ndarray]:
     """Decode a jpeg to RGB uint8 (H, W, 3) with the system libjpeg —
     byte-identical to PIL's Image.open(...).convert("RGB") (same library,
-    same JDCT_ISLOW method; asserted in tests/test_native.py). Returns None
-    when the native library lacks the decode path or the file isn't a
-    plain jpeg (caller falls back to PIL)."""
+    same JDCT_ISLOW method; asserted in tests/test_native.py AND verified
+    once per process against PIL by _verify_decode_parity). Returns None
+    when the native library lacks the decode path, the canary check
+    failed, or the file isn't a plain jpeg (caller falls back to PIL)."""
     lib = get_lib()
     if lib is None or not hasattr(lib, "jpeg_dims"):
+        return None
+    if not _verify_decode_parity(lib):
         return None
     if isinstance(path_or_bytes, (bytes, bytearray)):
         data = bytes(path_or_bytes)

@@ -189,7 +189,6 @@ def _worst_view_ids(eval_step, state, loader, batch_size, n=20):
     from horopose_tpu.data.samplers import pad_batch
     ids, errs = [], []
     for batch in loader:
-        bsz = batch["TCO"].shape[0]
         batch, n_valid = pad_batch(batch, batch_size)
         jb = jax.tree.map(jnp.asarray, batch)
         preds, gts, _ = eval_step(state, jb)
@@ -198,7 +197,6 @@ def _worst_view_ids(eval_step, state, loader, batch_size, n=20):
                            axis=-1).mean(axis=1)
         ids.extend(np.asarray(batch["image_id"])[:n_valid].tolist())
         errs.extend(e[:n_valid].tolist())
-        del bsz
     order = np.argsort(errs)[::-1]                 # worst first
     picked = order[:100][::5][:n]
     return [int(ids[i]) for i in picked]
@@ -282,7 +280,27 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     from horopose_tpu.pipelines.train_full import init_fullnet_state
     state, rng = init_fullnet_state(cfg, model, tx)
 
-    if cfg.pretrained_weight_on_synth:
+    start_epoch = 0
+    if cfg.resume_run:
+        # full-state resume of an interrupted sim2real run (reference
+        # train_sim2real.py:108-124: model + optimizer + epoch). Our keeper
+        # names sim2real checkpoints per real camera set, so accept those
+        # alongside the reference's generic name.
+        ckpt_dir = os.path.join("experiments", cfg.resume_experiment_name,
+                                "ckpt")
+        candidates = ["curr_best_auc(add)_model.pk"] + [
+            f"curr_best_auc(add)_{c}_model.pk"
+            for c in ("azure", "kinect", "realsense", "orb")]
+        resume_path = next(
+            (os.path.join(ckpt_dir, c) for c in candidates
+             if os.path.exists(os.path.join(ckpt_dir, c))),
+            os.path.join(ckpt_dir, candidates[0]))
+        payload = load_checkpoint_file(resume_path)
+        state = restore_state(state, payload)
+        start_epoch = int(payload["epoch"]) + 1
+        print(f"[sim2real] resumed {cfg.resume_experiment_name} at epoch "
+              f"{start_epoch}")
+    elif cfg.pretrained_weight_on_synth:
         from flax import serialization
         payload = load_checkpoint_file(cfg.pretrained_weight_on_synth)
         # WEIGHTS ONLY: the reference re-creates Adam fresh for stage 3
@@ -296,7 +314,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                 state.batch_stats, payload["batch_stats"]))
         print(f"[sim2real] loaded synth-pretrained weights (weights only) "
               f"from {cfg.pretrained_weight_on_synth}")
-    elif not cfg.resume_run and not cfg.get("allow_random_init"):
+    elif not cfg.get("allow_random_init"):
         # reference parity: refusing to self-train from random init
         # (train_sim2real.py:100-102 `assert 0`)
         raise ValueError(
@@ -308,6 +326,8 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
         seg_teacher = load_seg_teacher(cfg)
 
     keeper = BestCheckpointKeeper(ckpt_folder, cfg.urdf_robot_name)
+    if start_epoch:
+        keeper.resume()
     train_step = build_sim2real_train_step(cfg, model, robot, robot_mesh,
                                            seg_teacher, tx)
     eval_step = build_full_eval_step(cfg, model, robot,
@@ -330,7 +350,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                                             cfg.batch_size, n=track_n)
             print(f"[sim2real] tracking worst views on {name}: "
                   f"{tracked[name]}")
-    for epoch in range(n_epochs):
+    for epoch in range(start_epoch, n_epochs):
         meters = {t: AverageMeter() for t in
                   ("loss", "loss_mask", "loss_iou", "loss_scale",
                    "loss_error3d_align", "cull_overflow")}

@@ -199,3 +199,7 @@ def test_stride2_conv_s2d_equivalence():
         got = stride2_conv_s2d(x, w)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+    # k = 5 (k % 4 == 1) needs a different pad split: rejected loudly, not
+    # silently wrong
+    with pytest.raises(ValueError, match="k % 4 == 3"):
+        stride2_conv_s2d(jnp.zeros((1, 8, 8, 3)), jnp.zeros((5, 5, 3, 8)))

@@ -186,3 +186,59 @@ def test_sim2real_synth_handoff_is_weights_only(real_ws, tmp_path,
         k0, np.asarray(want["reg_backbone"]["conv1"]["kernel"]), rtol=1e-6)
     # ...but the optimizer/step are FRESH
     assert int(state.step) == 0
+
+
+def test_sim2real_resume_run(real_ws, tmp_path, monkeypatch):
+    """resume_run restores the full TrainState (reference
+    train_sim2real.py:108-124) and continues at the saved epoch + 1 —
+    previously the guard's error message offered resume_run as an
+    alternative while no resume logic existed here."""
+    import jax.numpy as jnp
+    base, train_dir = real_ws
+    monkeypatch.chdir(tmp_path)
+    from horopose_tpu.config import make_cfg
+    from horopose_tpu.models.deeplab import SegTeacher
+    from horopose_tpu.pipelines.train_sim2real import train_sim2real
+    cfg_yaml = dict(
+        exp_name="s2r_resume", urdf_robot_name="panda", batch_size=2,
+        epoch_size=2, n_epochs=1, n_dataloader_workers=2, image_size=64.0,
+        lr=1e-6, clip_gradient=5.0, use_schedule=False, use_sim2real=True,
+        backbone_name="resnet18", rootnet_backbone_name="resnet18",
+        mask_loss_func="mse_mean", mask_loss_weight=1.0, iou_loss_weight=1.0,
+        scale_loss_weight=0.0, align_3d_loss_weight=0.0,
+        reference_keypoint_id=3, allow_random_init=True, track_worst_n=0)
+    path = base / "s2r_resume.yaml"
+    path.write_text(yaml.safe_dump(cfg_yaml))
+    cfg = make_cfg(str(path))
+    cfg.train_ds_names = str(train_dir)
+    teacher = SegTeacher.init_random(jax.random.PRNGKey(0),
+                                     image_hw=(480, 640), scale=0.1)
+    # fabricate the interrupted run's best checkpoint (per-camera name, as
+    # our keeper writes for sim2real) with a dirty step counter
+    from horopose_tpu.core.checkpoint import save_checkpoint_file
+    from horopose_tpu.core.engine import create_train_state, make_optimizer
+    from horopose_tpu.pipelines.common import build_fullnet
+    import jax as _jax
+    model = build_fullnet(cfg)
+    rng = _jax.random.PRNGKey(8)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 64, 64, 3)), jnp.ones((1,)),
+                           jnp.eye(3)[None], train=False)
+    prev = create_train_state(variables, make_optimizer(cfg, 1))
+    prev = prev.replace(step=np.int32(5))
+    ckpt_dir = os.path.join("experiments", "s2r_resume", "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    save_checkpoint_file(
+        os.path.join(ckpt_dir, "curr_best_auc(add)_azure_model.pk"),
+        epoch=0, metric=0.1, state=prev)
+
+    cfg2 = make_cfg(str(path))
+    cfg2.train_ds_names = str(train_dir)
+    cfg2.resume_run = True
+    cfg2.resume_experiment_name = "s2r_resume"
+    cfg2.allow_random_init = False   # resume alone must satisfy the guard
+    state2 = train_sim2real(cfg2, max_epochs=2, seg_teacher=teacher)
+    # resumed at epoch 1 of 2 -> one more epoch of 1 step on top of the
+    # restored step counter (5 -> 6)
+    assert int(state2.step) == 6
