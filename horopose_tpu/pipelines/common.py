@@ -54,6 +54,9 @@ def build_fullnet(cfg) -> FullNet:
     robot_type = cfg.urdf_robot_name
     dtype = jnp.bfloat16 if str(cfg.get("compute_dtype", "float32")) == \
         "bfloat16" else jnp.float32
+    # the model's heatmap/uv geometry follows the OTHER (regression) crop
+    # (reference: self.image_size = args.other_image_size, full_net.py:62)
+    _, other_hw = crop_sizes(cfg)
     return FullNet(
         dtype=dtype,
         robot_type=robot_type,
@@ -61,7 +64,7 @@ def build_fullnet(cfg) -> FullNet:
         num_keypoints=C.NUM_KEYPOINTS[robot_type],
         backbone_name=cfg.backbone_name,
         rootnet_backbone_name=cfg.rootnet_backbone_name,
-        image_size=int(cfg.image_size),
+        image_size=other_hw[0],
         bbox_3d_shape=tuple(cfg.bbox_3d_shape),
         reference_keypoint_id=int(cfg.reference_keypoint_id),
         fix_root=bool(cfg.fix_root),
@@ -135,13 +138,31 @@ def _resolve_cache_dir(cfg, path) -> str:
     return os.path.join(root, os.path.basename(os.path.normpath(str(path))))
 
 
+def _size_hw(value, fallback) -> tuple:
+    """Normalize a size knob (scalar / (h, w) / None) to an int pair."""
+    if value is None:
+        value = fallback
+    if isinstance(value, (tuple, list)):
+        return (int(value[0]), int(value[1]))
+    return (int(value), int(value))
+
+
+def crop_sizes(cfg) -> tuple:
+    """(rootnet_hw, other_hw) — the reference sizes the two crops
+    independently (utils.py:77-78 rootnet_image_size / other_image_size);
+    both default to cfg.image_size."""
+    return (_size_hw(cfg.get("rootnet_image_size"), cfg.image_size),
+            _size_hw(cfg.get("other_image_size"), cfg.image_size))
+
+
 def _mk_dataset(cfg, path, train: bool) -> DreamDataset:
+    rootnet_hw, other_hw = crop_sizes(cfg)
     return DreamDataset(
         path,
         decode_cache_dir=_resolve_cache_dir(cfg, path),
         padding=bool(cfg.get("padding")),
-        rootnet_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
-        other_resize_hw=(int(cfg.image_size), int(cfg.image_size)),
+        rootnet_resize_hw=rootnet_hw,
+        other_resize_hw=other_hw,
         color_jitter=cfg.jitter if train else False,
         rgb_augmentation=cfg.other_aug if train else False,
         occlusion_augmentation=cfg.occlusion if train else False,

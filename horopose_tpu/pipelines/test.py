@@ -159,10 +159,12 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         print(f"[test] WARNING: checkpoint {ckpt_path} not found, "
               "evaluating random init")
 
+    from horopose_tpu.pipelines.common import crop_sizes
+    rootnet_hw, other_hw = crop_sizes(cfg)
     ds = DreamDataset(cfg.test_ds_names, color_jitter=False,
                       rgb_augmentation=False, occlusion_augmentation=False,
-                      rootnet_resize_hw=(size, size),
-                      other_resize_hw=(size, size),
+                      rootnet_resize_hw=rootnet_hw,
+                      other_resize_hw=other_hw,
                       extend_ratio=cfg.extend_ratio)
     loader = DataLoader(ds, batch_size=batch_size, num_workers=8,
                         drop_last=False)

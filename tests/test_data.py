@@ -181,3 +181,48 @@ def test_dataloader_forkserver_workers(tmp_path):
         n += batch["TCO"].shape[0]
     loader.close()
     assert n == 4
+
+
+def test_independent_crop_sizes(tmp_path):
+    """rootnet_image_size / other_image_size size the two crops
+    INDEPENDENTLY (reference utils.py:77-78); the model's heatmap geometry
+    follows the other (regression) crop (full_net.py:62)."""
+    import jax
+    import jax.numpy as jnp
+    from fixtures import make_synthetic_dream_dataset
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.pipelines.common import (build_fullnet,
+                                               get_dataloaders)
+    d = make_synthetic_dream_dataset(tmp_path, "panda", n_images=2,
+                                     split="train_dr", seed=44)
+    cfg = make_default_cfg()
+    cfg.train_ds_names = str(d)
+    cfg.urdf_robot_name = "panda"
+    cfg.image_size = 64.0
+    cfg.rootnet_image_size = 32.0      # smaller DepthNet crop
+    cfg.other_image_size = 64.0
+    cfg.batch_size = 2
+    cfg.epoch_size = 2
+    cfg.n_dataloader_workers = 2
+    cfg.backbone_name = "resnet18"
+    cfg.rootnet_backbone_name = "resnet18"
+    loaders = get_dataloaders(cfg)
+    batch = next(iter(loaders["train"]))
+    loaders["train"].close()
+    assert batch["root"]["images"].shape[1:3] == (32, 32)
+    assert batch["other"]["images"].shape[1:3] == (64, 64)
+
+    # the model runs on the mixed-size pair (rootnet backbone is GAP'd,
+    # so its input size is free; heatmap geometry follows the 64px crop)
+    model = build_fullnet(cfg)
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 32, 32, 3)), jnp.ones((1,)),
+                           jnp.eye(3)[None], train=False)
+    out = model.apply(variables,
+                      jnp.asarray(batch["other"]["images"], jnp.float32),
+                      jnp.asarray(batch["root"]["images"], jnp.float32),
+                      jnp.ones((2,)), jnp.asarray(batch["other"]["K"],
+                                                  jnp.float32), train=False)
+    assert out["uvd"].shape == (2, 7, 3)

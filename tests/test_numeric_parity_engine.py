@@ -94,7 +94,13 @@ def _to_ref_batch(batch, robot_type):
     }
 
 
-def test_full_engine_loss_parity(ref_engine, rng, tmp_path):
+@pytest.mark.parametrize("use_origin,use_extended", [
+    (False, True),    # flagship (full.yaml: use_extended_bbox True)
+    (False, False),   # k-values from root.K + strict-bounded crop bbox
+    (True, False),    # k-values from K_original + original strict bbox
+])
+def test_full_engine_loss_parity(ref_engine, rng, tmp_path, use_origin,
+                                 use_extended):
     import torch
     from horopose_tpu.config import make_default_cfg
     from horopose_tpu.core.engine import (build_full_eval_step,
@@ -129,7 +135,8 @@ def test_full_engine_loss_parity(ref_engine, rng, tmp_path):
     args.image_size = float(IMG)
     args.other_image_size = float(IMG)
     args.rootnet_image_size = float(IMG)
-    args.use_extended_bbox = True
+    args.use_origin_bbox = use_origin
+    args.use_extended_bbox = use_extended
     args.reference_keypoint_id = 3
     args.fix_root = True
     # configs/panda/full.yaml weights (defaults are all 0.0); align_3d
@@ -160,7 +167,8 @@ def test_full_engine_loss_parity(ref_engine, rng, tmp_path):
     cfg.backbone_name = "resnet34"
     cfg.rootnet_backbone_name = "resnet34"
     cfg.image_size = float(IMG)
-    cfg.use_extended_bbox = True
+    cfg.use_origin_bbox = use_origin
+    cfg.use_extended_bbox = use_extended
     cfg.reference_keypoint_id = 3
     cfg.fix_root = True
     for k, v in _WEIGHTS.items():
