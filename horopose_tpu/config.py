@@ -118,8 +118,10 @@ def make_default_cfg() -> AttrDict:
     # model
     cfg.backbone_name = "resnet50"
     cfg.rootnet_backbone_name = "hrnet32"
-    cfg.rootnet_image_size = (cfg.image_size, cfg.image_size)
-    cfg.other_image_size = (cfg.image_size, cfg.image_size)
+    # None = follow cfg.image_size at USE time (pipelines/common.crop_sizes);
+    # a default-time tuple would go stale when image_size is overridden later
+    cfg.rootnet_image_size = None
+    cfg.other_image_size = None
     cfg.n_iter = 4
     cfg.p_dropout = 0.5
     cfg.use_rpmg = False
