@@ -84,11 +84,15 @@ def make_optimizer(cfg, steps_per_epoch: int) -> optax.GradientTransformation:
 
     components = []
     if cfg.clip_gradient:
+        # torch clips by global norm between backward and step
+        # (scripts/train_full.py:64-66) — same raw-gradient placement here
         components.append(optax.clip_by_global_norm(float(cfg.clip_gradient)))
     if float(cfg.get("weight_decay", 0.0) or 0.0) > 0:
-        components.append(optax.adamw(lr, weight_decay=float(cfg.weight_decay)))
-    else:
-        components.append(optax.adam(lr))
+        # torch.optim.Adam(weight_decay=w) is COUPLED L2: w*param is added
+        # to the gradient BEFORE the Adam moments (scripts/train_full.py:42)
+        # — not decoupled AdamW. add_decayed_weights before adam matches.
+        components.append(optax.add_decayed_weights(float(cfg.weight_decay)))
+    components.append(optax.adam(lr))
     return optax.chain(*components)
 
 

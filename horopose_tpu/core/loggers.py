@@ -68,3 +68,44 @@ class AverageMeter:
     @property
     def mean(self) -> float:
         return self.sum / self.n if self.n else 0.0
+
+
+class DeviceLogAccumulator:
+    """Meter bank that never blocks the training loop on the device.
+
+    `float(logs[t])` after every train step is a blocking device->host sync
+    per batch — the exact pathology the reference's loop has
+    (/root/reference/scripts/train_full.py:68-78, .item() per loss per
+    batch) and that a donated jitted step otherwise avoids. Instead, the
+    per-step log dicts (device scalars) are QUEUED, and one jax.device_get
+    for the whole window runs every `flush_every` pushes — matching the
+    TB-write cadence, so the device pipeline stays busy between flushes.
+
+    Meters are exposed as `.meters[tag]` (AverageMeter). Call `.flush()`
+    before reading them at epoch end.
+    """
+
+    def __init__(self, flush_every: int = 100):
+        self.flush_every = int(flush_every)
+        self._pending = []
+        self.meters = {}
+
+    def push(self, logs: dict):
+        self._pending.append(dict(logs))
+        if len(self._pending) >= self.flush_every:
+            self.flush()
+
+    def flush(self):
+        if not self._pending:
+            return
+        import jax
+        for d in jax.device_get(self._pending):
+            for k, v in d.items():
+                if k not in self.meters:
+                    self.meters[k] = AverageMeter()
+                self.meters[k].add(float(v))
+        self._pending = []
+
+    def mean(self, tag: str) -> float:
+        m = self.meters.get(tag)
+        return m.mean if m else 0.0

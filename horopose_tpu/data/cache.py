@@ -56,17 +56,23 @@ _WAIT_S = 10.0         # how long to wait for a live creator to allocate
 
 
 def dataset_fingerprint(base_dir, jpg_paths) -> str:
-    """Cheap identity of a decoded-image set: absolute dataset path plus
-    size+mtime of the first and last jpg (sorted order). Catches renamed /
-    regenerated / prefix-colliding datasets without stat'ing every file."""
+    """Cheap identity of a decoded-image set: absolute dataset path, count,
+    and size+mtime of a handful of sampled jpgs — the first, last, and a few
+    interior quantiles (sorted order). Interior samples catch mid-dataset
+    regeneration that leaves the endpoints and count unchanged, while
+    staying O(1) stat calls."""
     parts = [str(Path(base_dir).resolve()), str(len(jpg_paths))]
-    for p in ((jpg_paths[0], jpg_paths[-1]) if jpg_paths else ()):
-        try:
-            st = os.stat(p)
-            parts.append(f"{os.path.basename(str(p))}:{st.st_size}:"
-                         f"{int(st.st_mtime)}")
-        except OSError:
-            parts.append("unstattable")
+    n = len(jpg_paths)
+    if n:
+        idxs = sorted({0, n // 4, n // 2, (3 * n) // 4, n - 1})
+        for i in idxs:
+            p = jpg_paths[i]
+            try:
+                st = os.stat(p)
+                parts.append(f"{os.path.basename(str(p))}:{st.st_size}:"
+                             f"{int(st.st_mtime)}")
+            except OSError:
+                parts.append("unstattable")
     return "|".join(parts)
 
 
@@ -158,8 +164,25 @@ class DecodedImageCache:
                     return
                 try:
                     st = self._lock_path.stat()
-                except OSError:  # lock released; meta imminent OR failed
-                    if not self._meta_path.exists():
+                except OSError:
+                    # Lock vanished without meta. Three possible worlds:
+                    # (a) the creator finished and meta is imminent, (b) the
+                    # creator failed and released, (c) ANOTHER WAITER just
+                    # os.replace()d a LIVE creator's lock for its inode
+                    # check and will restore it momentarily. Breaking to
+                    # re-elect immediately in world (c) races a live
+                    # creator whose mode="w+" truncation can tear slots —
+                    # so wait a grace period for either meta.json or a
+                    # restored lock before concluding the creator is dead.
+                    grace = time.monotonic() + 1.0
+                    vanished = True
+                    while time.monotonic() < grace:
+                        if self._meta_path.exists() or \
+                                self._lock_path.exists():
+                            vanished = False
+                            break
+                        time.sleep(0.01)
+                    if vanished and not self._meta_path.exists():
                         stale = True
                         break
                     continue

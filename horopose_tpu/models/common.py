@@ -33,9 +33,76 @@ def bn_frozen() -> bool:
     return _BN_FROZEN.get()
 
 
+class BatchNorm(nn.BatchNorm):
+    """nn.BatchNorm with torch running-stat semantics.
+
+    torch.nn.BatchNorm2d updates running_var with the UNBIASED batch
+    variance (Bessel n/(n-1) correction) while normalizing with the biased
+    one; flax uses the biased variance for both. The reference trains every
+    backbone with torch BN (momentum 0.1 — HRnet.py:18 BN_MOMENTUM,
+    torchvision-style resnets), so train-mode running stats here apply the
+    same correction. Normalization itself is unchanged (both frameworks use
+    biased batch variance in train mode), so forward outputs and gradients
+    are unaffected — only the running_var trajectory is.
+
+    Named `BatchNorm` so flax auto-naming ("BatchNorm_0", ...) and thus
+    checkpoint/converter key layouts are identical to nn.BatchNorm's.
+    """
+
+    @nn.compact
+    def __call__(self, x, use_running_average=None, *, mask=None):
+        from flax.linen.normalization import (_canonicalize_axes,
+                                              _compute_stats, _normalize)
+        from flax.linen import module as flax_module
+        use_running_average = flax_module.merge_param(
+            "use_running_average", self.use_running_average,
+            use_running_average)
+        feature_axes = _canonicalize_axes(x.ndim, self.axis)
+        reduction_axes = tuple(i for i in range(x.ndim)
+                               if i not in feature_axes)
+        feature_shape = [x.shape[ax] for ax in feature_axes]
+
+        stat_dtype = (jnp.float32 if self.force_float32_reductions
+                      else self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda s: jnp.zeros(s, stat_dtype),
+                                feature_shape)
+        ra_var = self.variable("batch_stats", "var",
+                               lambda s: jnp.ones(s, stat_dtype),
+                               feature_shape)
+
+        if use_running_average:
+            mean = ra_mean.value if self.force_float32_reductions \
+                else jnp.asarray(ra_mean.value, self.param_dtype)
+            var = ra_var.value if self.force_float32_reductions \
+                else jnp.asarray(ra_var.value, self.param_dtype)
+        else:
+            mean, var = _compute_stats(
+                x, reduction_axes, dtype=self.dtype,
+                axis_name=(self.axis_name if not self.is_initializing()
+                           else None),
+                axis_index_groups=self.axis_index_groups,
+                use_fast_variance=self.use_fast_variance, mask=mask,
+                force_float32_reductions=self.force_float32_reductions)
+            if not self.is_initializing():
+                n = 1
+                for ax in reduction_axes:
+                    n *= x.shape[ax]
+                bessel = float(n) / float(max(n - 1, 1))
+                ra_mean.value = (self.momentum * ra_mean.value +
+                                 (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value +
+                                (1 - self.momentum) * (var * bessel))
+
+        return _normalize(
+            self, x, mean, var, reduction_axes, feature_axes, self.dtype,
+            self.param_dtype, self.epsilon, self.use_bias, self.use_scale,
+            self.bias_init, self.scale_init, self.force_float32_reductions)
+
+
 def batch_norm(train: bool, dtype=jnp.float32, name=None,
                momentum: float = 0.9) -> nn.BatchNorm:
-    return nn.BatchNorm(
+    return BatchNorm(
         use_running_average=(not train) or _BN_FROZEN.get(),
         momentum=momentum, dtype=dtype, name=name)
 

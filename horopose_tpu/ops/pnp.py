@@ -30,55 +30,102 @@ import jax.numpy as jnp
 from horopose_tpu.ops.rotations import (axis_angle_to_rotmat,
                                         rotmat_to_axis_angle)
 
-_REFINE_ITERS = 20
-_LM_LAMBDA = 1e-6
+_REFINE_ITERS = 40
+_LM_LAMBDA0 = 1e-3
 
 
-def _dlt_init(pts2d: jnp.ndarray, pts3d: jnp.ndarray, K: jnp.ndarray):
-    """Direct linear transform: (N,2), (N,3), (3,3) -> (R, t). N >= 6."""
-    N = pts3d.shape[0]
-    X = jnp.concatenate([pts3d, jnp.ones((N, 1), pts3d.dtype)], axis=-1)
-    u = pts2d[:, 0:1]
-    v = pts2d[:, 1:2]
+def _orthogonalize(R_raw: jnp.ndarray) -> jnp.ndarray:
+    """Nearest rotation (det +1) to a 3x3 matrix via SVD."""
+    u_, _, vt_ = jnp.linalg.svd(R_raw)
+    det = jnp.linalg.det(u_ @ vt_)
+    vt_ = jnp.concatenate([vt_[:2], vt_[2:] * det], axis=0)
+    return u_ @ vt_
+
+
+def _dlt_init(uvn: jnp.ndarray, Xc: jnp.ndarray):
+    """Direct linear transform in NORMALIZED coordinates: (N,2) normalized
+    image points, (N,3) centroid-centered 3D points -> (R, t). N >= 6.
+
+    Conditioning: raw-pixel DLT mixes O(100) pixel values with O(1)
+    homogeneous ones in the design matrix and is numerically fragile in
+    float32 (observed: occasional total failures on CLEAN data); with
+    K-normalized 2D points and centered 3D points every entry is O(1)
+    (Hartley-style normalization)."""
+    N = Xc.shape[0]
+    X = jnp.concatenate([Xc, jnp.ones((N, 1), Xc.dtype)], axis=-1)
+    u = uvn[:, 0:1]
+    v = uvn[:, 1:2]
     zeros = jnp.zeros_like(X)
     rows_u = jnp.concatenate([X, zeros, -u * X], axis=-1)   # (N, 12)
     rows_v = jnp.concatenate([zeros, X, -v * X], axis=-1)   # (N, 12)
     A = jnp.concatenate([rows_u, rows_v], axis=0)           # (2N, 12)
     # least-squares null vector: eigenvector of A^T A with smallest eigenvalue
     _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    P = vt[-1].reshape(3, 4)
-    M = jnp.linalg.solve(K, P)                              # K^-1 P = s[R|t]
+    M = vt[-1].reshape(3, 4)                                # = s[R|t], K = I
     R_raw = M[:, :3]
     scale = jnp.maximum(jnp.linalg.norm(R_raw, axis=1).mean(), 1e-9)
     det = jnp.linalg.det(R_raw)
     sign = jnp.where(det >= 0, 1.0, -1.0)  # avoid sign(0) = 0 degeneracy
-    R_raw = R_raw * sign
+    R0 = _orthogonalize(R_raw * sign)
     t0 = M[:, 3] * sign / scale
-    # orthogonalize
-    u_, _, vt_ = jnp.linalg.svd(R_raw)
-    det = jnp.linalg.det(u_ @ vt_)
-    vt_ = jnp.concatenate([vt_[:2], vt_[2:] * det], axis=0)
-    R0 = u_ @ vt_
-    # cheirality: points should be in front of the camera
-    z = (R0 @ pts3d.T).T[:, 2] + t0[2]
+    # cheirality: points should be in front of the camera; mirror by
+    # redoing with the flipped sign of P
+    z = (R0 @ Xc.T).T[:, 2] + t0[2]
     flip = jnp.mean(z) < 0
-    # mirror through the camera center: R -> diag(-1,-1,1)... a cheap fix is
-    # negating t and rotating by pi about the optical axis is NOT exact;
-    # instead redo with flipped sign of P
-    R1 = -R0
-    u2, _, vt2 = jnp.linalg.svd(R1)
-    det2 = jnp.linalg.det(u2 @ vt2)
-    vt2 = jnp.concatenate([vt2[:2], vt2[2:] * det2], axis=0)
-    R1 = u2 @ vt2
-    t1 = -t0
+    R1 = _orthogonalize(-R0)
     R_init = jnp.where(flip, R1, R0)
-    t_init = jnp.where(flip, t1, t0)
+    t_init = jnp.where(flip, -t0, t0)
+    return R_init, t_init
+
+
+def _planar_init(uvn: jnp.ndarray, Xc: jnp.ndarray):
+    """Homography (IPPE-style) init for NEAR-COPLANAR 3D point sets, where
+    the 12-parameter DLT is rank-deficient (a plane admits a 2-parameter
+    family of consistent projection matrices; cv2's EPnP handles this case,
+    the plain DLT does not — observed as NaNs on coplanar fixtures).
+
+    Plane basis from the 3x3 scatter eigendecomposition; homography from
+    in-plane coordinates to normalized image points; R from the first two
+    homography columns, cheirality-disambiguated."""
+    C = Xc.T @ Xc                                          # (3,3) scatter
+    _, V = jnp.linalg.eigh(C)                              # ascending
+    normal = V[:, 0]
+    basis = V[:, 1:]                                       # (3,2)
+    P2 = Xc @ basis                                        # (N,2) in-plane
+    N = P2.shape[0]
+    P2h = jnp.concatenate([P2, jnp.ones((N, 1), P2.dtype)], axis=-1)
+    u = uvn[:, 0:1]
+    v = uvn[:, 1:2]
+    zeros = jnp.zeros_like(P2h)
+    rows_u = jnp.concatenate([P2h, zeros, -u * P2h], axis=-1)  # (N, 9)
+    rows_v = jnp.concatenate([zeros, P2h, -v * P2h], axis=-1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
+    H = vt[-1].reshape(3, 3)
+    s = 0.5 * (jnp.linalg.norm(H[:, 0]) + jnp.linalg.norm(H[:, 1]))
+    H = H / jnp.maximum(s, 1e-12)
+    r1, r2, t_pl = H[:, 0], H[:, 1], H[:, 2]
+    R_pl = _orthogonalize(jnp.stack([r1, r2, jnp.cross(r1, r2)], axis=1))
+    # plane coords -> world: Xc = basis @ p (+ 0 * normal), so
+    # R_full @ [basis normal] = [R_pl[:,0] R_pl[:,1] R_pl[:,2]]
+    M3 = jnp.concatenate([basis, normal[:, None]], axis=1)  # (3,3) orthogonal
+    R_full = R_pl @ M3.T
+    # sign ambiguity (H vs -H): pick the cheirality-consistent one
+    z = (R_full @ Xc.T).T[:, 2] + t_pl[2]
+    flip = jnp.mean(z) < 0
+    R_flip = _orthogonalize(-R_pl) @ M3.T
+    R_init = jnp.where(flip, R_flip, R_full)
+    t_init = jnp.where(flip, -t_pl, t_pl)
     return R_init, t_init
 
 
 def _residuals(theta: jnp.ndarray, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
                K: jnp.ndarray) -> jnp.ndarray:
-    """Reprojection residuals, flattened (2N,). theta = [axis-angle, t]."""
+    """Raw-pixel reprojection residuals, flattened (2N,), for the
+    implicit-function-theorem backward. For skew-free K this objective is
+    IDENTICAL to the normalized one the forward minimizes
+    (u_pred - u_obs = fx * (xn_pred - xn_obs)), so the forward's optimum is
+    a stationary point of this function too."""
     R = axis_angle_to_rotmat(theta[:3])
     t = theta[3:]
     cam = (R @ pts3d.T).T + t
@@ -87,32 +134,119 @@ def _residuals(theta: jnp.ndarray, pts2d: jnp.ndarray, pts3d: jnp.ndarray,
     return (uv - pts2d).reshape(-1)
 
 
-def _refine(theta0, pts2d, pts3d, K, iters: int = _REFINE_ITERS):
-    """Unrolled Levenberg-Marquardt on the reprojection objective."""
-    jac_fn = jax.jacfwd(_residuals)
+def _residuals_n(theta: jnp.ndarray, uvn: jnp.ndarray, Xc: jnp.ndarray,
+                 f: jnp.ndarray) -> jnp.ndarray:
+    """Reprojection residuals IN PIXEL UNITS computed from normalized
+    quantities, flattened (2N,). theta = [axis-angle, t] for the CENTERED
+    3D points; f = (|fx|, |fy|). Identical optimum to the raw-pixel
+    objective (r_px = f * (xn_pred - xn_obs)), but every intermediate is
+    O(1) — the same least squares cv2.solvePnP ITERATIVE minimizes."""
+    R = axis_angle_to_rotmat(theta[:3])
+    t = theta[3:]
+    cam = (R @ Xc.T).T + t
+    z = jnp.where(jnp.abs(cam[:, 2:3]) < 1e-9,
+                  jnp.where(cam[:, 2:3] < 0, -1e-9, 1e-9), cam[:, 2:3])
+    xn = cam[:, :2] / z
+    return ((xn - uvn) * f[None, :]).reshape(-1)
 
-    def body(theta, _):
-        r = _residuals(theta, pts2d, pts3d, K)
-        J = jac_fn(theta, pts2d, pts3d, K)              # (2N, 6)
-        H = J.T @ J + _LM_LAMBDA * jnp.eye(6, dtype=theta.dtype)
+
+def _refine(theta0, uvn, Xc, f, iters: int = _REFINE_ITERS):
+    """Levenberg-Marquardt with ADAPTIVE damping (accept/reject steps),
+    fixed iteration count for XLA. A fixed tiny lambda stalls or diverges
+    from imperfect inits (observed: median 2.5e-3 rad residual rotation on
+    clean data); classic lambda adaptation converges to the optimum."""
+    jac_fn = jax.jacfwd(_residuals_n)
+
+    def body(carry, _):
+        theta, lam, best = carry
+        r = _residuals_n(theta, uvn, Xc, f)
+        J = jac_fn(theta, uvn, Xc, f)                  # (2N, 6)
+        JtJ = J.T @ J
+        H = JtJ + lam * jnp.diag(jnp.maximum(jnp.diag(JtJ), 1e-12))
         g = J.T @ r
         step = jnp.linalg.solve(H, g)
-        # degenerate configurations (coincident points, rank-deficient H)
-        # must not poison the state: skip non-finite steps
         step = jnp.where(jnp.isfinite(step), step, 0.0)
-        return theta - step, None
+        theta_new = theta - step
+        new = jnp.sum(_residuals_n(theta_new, uvn, Xc, f) ** 2)
+        ok = jnp.isfinite(new) & (new < best)
+        theta = jnp.where(ok, theta_new, theta)
+        lam = jnp.where(ok, jnp.maximum(lam * 0.3, 1e-10),
+                        jnp.minimum(lam * 10.0, 1e8))
+        best = jnp.where(ok, new, best)
+        return (theta, lam, best), None
 
     # sanitize a degenerate init: fall back to identity pose at z=1
     fallback = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 1.0], theta0.dtype)
     theta0 = jnp.where(jnp.all(jnp.isfinite(theta0)), theta0, fallback)
-    theta, _ = jax.lax.scan(body, theta0, None, length=iters)
-    return theta
+    best0 = jnp.sum(_residuals_n(theta0, uvn, Xc, f) ** 2)
+    best0 = jnp.where(jnp.isfinite(best0), best0, jnp.inf)
+    (theta, _, best), _ = jax.lax.scan(
+        body, (theta0, jnp.asarray(_LM_LAMBDA0, theta0.dtype), best0), None,
+        length=iters)
+    return theta, best
+
+
+def _mirror_planar_candidate(theta: jnp.ndarray, normal: jnp.ndarray):
+    """Second basin of the planar two-fold pose ambiguity: a (near-)planar
+    object under perspective admits two poses whose plane normals are
+    reflections of each other about the ray to the plane centroid (IPPE's
+    solution pair). Given a converged pose, construct the mirrored-tilt
+    init by rotating the pose so its normal maps onto the reflected one."""
+    R = axis_angle_to_rotmat(theta[:3])
+    t = theta[3:]
+    v = t / jnp.maximum(jnp.linalg.norm(t), 1e-9)
+    n_c = R @ normal
+    n2 = 2.0 * jnp.dot(v, n_c) * v - n_c
+    axis = jnp.cross(n_c, n2)
+    s = jnp.linalg.norm(axis)
+    c = jnp.clip(jnp.dot(n_c, n2), -1.0, 1.0)
+    ang = jnp.arctan2(s, c)
+    aa = jnp.where(s > 1e-9, axis / jnp.maximum(s, 1e-9) * ang,
+                   jnp.zeros(3, theta.dtype))
+    R2 = axis_angle_to_rotmat(aa) @ R
+    return jnp.concatenate([rotmat_to_axis_angle(R2), t])
 
 
 def _solve_single(pts2d, pts3d, K):
-    R0, t0 = _dlt_init(pts2d, pts3d, K)
-    theta0 = jnp.concatenate([rotmat_to_axis_angle(R0), t0])
-    return _refine(theta0, pts2d, pts3d, K)
+    """(N,2), (N,3), (3,3) -> theta (6,). Mirrors the solver chain the
+    reference wraps (cv2 EPNP init + ITERATIVE refine, BPnP.py:129-151) in
+    batched fixed-shape XLA: normalized-coordinate DLT, planar-homography,
+    and mirrored-planar inits, adaptive-LM refine from each, lowest final
+    residual wins — the planar branches cover the coplanar/near-coplanar
+    sets where DLT is rank deficient (incl. both basins of the planar
+    ambiguity), the DLT branch the general case."""
+    f = jnp.stack([jnp.abs(K[0, 0]), jnp.abs(K[1, 1])])
+    Kinv = jnp.linalg.inv(K)
+    N = pts2d.shape[0]
+    uv1 = jnp.concatenate([pts2d, jnp.ones((N, 1), pts2d.dtype)], axis=-1)
+    uvh = uv1 @ Kinv.T
+    uvn = uvh[:, :2] / uvh[:, 2:3]
+    c3 = pts3d.mean(axis=0)
+    Xc = pts3d - c3
+
+    C = Xc.T @ Xc
+    _, V = jnp.linalg.eigh(C)
+    normal = V[:, 0]
+
+    R0, t0 = _dlt_init(uvn, Xc)
+    R1, t1 = _planar_init(uvn, Xc)
+    th0, res0 = _refine(jnp.concatenate([rotmat_to_axis_angle(R0), t0]),
+                        uvn, Xc, f)
+    th1, res1 = _refine(jnp.concatenate([rotmat_to_axis_angle(R1), t1]),
+                        uvn, Xc, f)
+    th2, res2 = _refine(_mirror_planar_candidate(th1, normal), uvn, Xc, f)
+    # mirror of the DLT solution too: with noisy near-degenerate (thin)
+    # point sets the DLT basin can be the wrong one of the ambiguity pair
+    th3, res3 = _refine(_mirror_planar_candidate(th0, normal), uvn, Xc, f)
+
+    cands = jnp.stack([th0, th1, th2, th3])
+    ress = jnp.stack([res0, res1, res2, res3])
+    ress = jnp.where(jnp.isfinite(ress), ress, jnp.inf)
+    theta_c = cands[jnp.argmin(ress)]
+    # un-center the translation: cam = R (X - c3) + t_c = R X + (t_c - R c3)
+    R = axis_angle_to_rotmat(theta_c[:3])
+    t = theta_c[3:] - R @ c3
+    return jnp.concatenate([theta_c[:3], t])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=())

@@ -150,9 +150,20 @@ def _size_hw(value, fallback) -> tuple:
 def crop_sizes(cfg) -> tuple:
     """(rootnet_hw, other_hw) — the reference sizes the two crops
     independently (utils.py:77-78 rootnet_image_size / other_image_size);
-    both default to cfg.image_size."""
-    return (_size_hw(cfg.get("rootnet_image_size"), cfg.image_size),
-            _size_hw(cfg.get("other_image_size"), cfg.image_size))
+    both default to cfg.image_size.
+
+    Non-square crops are rejected: FullNet's heatmap geometry assumes
+    square (heatmap_size = image_size // 4 drives both height_dim and
+    width_dim, models/full_net.py) — a rectangular size would silently
+    decode the heatmap with the wrong width geometry."""
+    sizes = (_size_hw(cfg.get("rootnet_image_size"), cfg.image_size),
+             _size_hw(cfg.get("other_image_size"), cfg.image_size))
+    for tag, (h, w) in zip(("rootnet_image_size", "other_image_size"), sizes):
+        if h != w:
+            raise ValueError(
+                f"{tag}=({h},{w}) is non-square; FullNet assumes square "
+                "crops (heatmap geometry is image_size//4 in both axes)")
+    return sizes
 
 
 def _mk_dataset(cfg, path, train: bool) -> DreamDataset:

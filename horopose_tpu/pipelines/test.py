@@ -80,19 +80,30 @@ def visualize_extremes(cfg, robot, eval_step, state, ds, dis3d, image_ids,
 
 
 def measure_forward_fps(model, robot, state, cfg, batch_size: int,
-                        iters: int = 10) -> float:
-    """Per-image forward latency (seconds), bench.py methodology: `iters`
-    full inference forwards (both backbones + integral + heads + FK lift)
-    chained ON DEVICE inside one jit — each iteration's input depends on the
-    previous output so XLA cannot reorder or elide them — synchronized by a
-    host transfer of the scalar result. This excludes host->device transfer
-    of predictions and metric computation, which the old in-loop timing
-    included (it under-reported FPS vs bench.py by the full transfer cost);
-    those are reported separately in summary.txt.
+                        iters: int = 10) -> dict:
+    """Per-image forward latencies (seconds), bench.py methodology: `iters`
+    forwards chained ON DEVICE inside one jit — each iteration's input
+    depends on the previous output so XLA cannot reorder or elide them —
+    synchronized by a host transfer of the scalar result. This excludes
+    host->device transfer of predictions and metric computation, which the
+    old in-loop timing included (it under-reported FPS vs bench.py by the
+    full transfer cost); those are reported separately in summary.txt.
+
+    Returns {"all", "root", "other"}: the reference times its two backbone
+    branches with in-model stopwatches (full_net.py:253-392, reported at
+    test.py:267-271). TPU-native equivalent: jit the SAME forward but
+    return only a branch-specific output, and XLA dead-code-eliminates the
+    other branch — "root" keeps only the rootnet->depth subgraph (chains on
+    out["depth"]), "other" only the reg backbone->deconv->integral subgraph
+    (chains on out["uvd"], which does not depend on the root branch),
+    "all" the full forward + FK lift.
     """
     import jax.numpy as jnp
-    size = int(cfg.image_size)
-    x = jnp.zeros((batch_size, size, size, 3), jnp.float32)
+    from horopose_tpu.pipelines.common import crop_sizes
+    rootnet_hw, other_hw = crop_sizes(cfg)
+    size = other_hw[0]
+    x_reg = jnp.zeros((batch_size, *other_hw, 3), jnp.float32)
+    x_root = jnp.zeros((batch_size, *rootnet_hw, 3), jnp.float32)
     k = jnp.full((batch_size,), 1500.0, jnp.float32)
     K = jnp.broadcast_to(
         jnp.asarray([[320.0, 0, size / 2], [0, 320.0, size / 2], [0, 0, 1]],
@@ -100,20 +111,34 @@ def measure_forward_fps(model, robot, state, cfg, batch_size: int,
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     ref = int(cfg.reference_keypoint_id)
 
-    @jax.jit
-    def chained(v, x0):
-        def body(c, _):
-            out = model.apply(v, c, c, k, K, train=False)
-            fk = robot.get_keypoints_root(out["pose"], out["rot"],
-                                          out["trans"], root=ref)
-            return c + fk.mean().astype(c.dtype) * 1e-9, ()
-        c, _ = jax.lax.scan(body, x0, None, length=iters)
-        return c.mean()
+    def select_all(out):
+        fk = robot.get_keypoints_root(out["pose"], out["rot"], out["trans"],
+                                      root=ref)
+        return fk.mean()
 
-    np.asarray(chained(variables, x))          # compile + warmup
-    t0 = time.perf_counter()
-    np.asarray(chained(variables, x))
-    return (time.perf_counter() - t0) / iters / batch_size
+    def time_variant(select):
+        @jax.jit
+        def chained(v, x0):
+            # chain on a scalar perturbation so both crops (possibly
+            # different sizes) depend on the previous iteration's output
+            def body(c, _):
+                out = model.apply(v, x_reg + c, x_root + c, k, K,
+                                  train=False)
+                return c + select(out).astype(c.dtype) * 1e-9, ()
+            c, _ = jax.lax.scan(body, x0, None, length=iters)
+            return c.mean()
+
+        c0 = jnp.zeros((), jnp.float32)
+        np.asarray(chained(variables, c0))      # compile + warmup
+        t0 = time.perf_counter()
+        np.asarray(chained(variables, c0))
+        return (time.perf_counter() - t0) / iters / batch_size
+
+    return {
+        "all": time_variant(select_all),
+        "root": time_variant(lambda out: out["depth"].mean()),
+        "other": time_variant(lambda out: out["uvd"].mean()),
+    }
 
 
 def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
@@ -127,11 +152,12 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
     model = build_fullnet(cfg)
     tx = make_optimizer(cfg, 1)
     import jax.numpy as jnp
-    size = int(cfg.image_size)
+    from horopose_tpu.pipelines.common import crop_sizes as _crop_sizes
+    rootnet_hw0, other_hw0 = _crop_sizes(cfg)
     rng = jax.random.PRNGKey(0)
     variables = model.init({"params": rng, "dropout": rng},
-                           jnp.zeros((1, size, size, 3)),
-                           jnp.zeros((1, size, size, 3)), jnp.ones((1,)),
+                           jnp.zeros((1, *other_hw0, 3)),
+                           jnp.zeros((1, *rootnet_hw0, 3)), jnp.ones((1,)),
                            jnp.eye(3)[None], train=False)
     state = create_train_state(variables, tx)
     # --ckpt accepts a name under <exp_path>/ckpt OR a direct path — e.g. a
@@ -231,6 +257,20 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         rotang = np.abs(ep - eg).mean(axis=1)
 
         sl = slice(0, n_valid)
+        # KeypointNet 2d distance: integral keypoints reprojected onto the
+        # reg crop vs the crop's gt 2D keypoints, masked batch mean
+        # (reference: scripts/test.py:180-182, accumulated at :253)
+        from horopose_tpu.ops.transforms import project_points as _pp
+        import jax.numpy as _jnp
+        kp2_int = np.asarray(_pp(_jnp.asarray(
+            np.asarray(batch["other"]["K"], np.float32)),
+            _jnp.asarray(preds["xyz_int"])))[sl]
+        vm_crop = np.asarray(batch["other"]["valid_mask_crop"],
+                             np.float32)[sl]
+        gt_kp2 = np.asarray(batch["other"]["keypoints_2d"], np.float32)[sl]
+        d2 = np.linalg.norm(kp2_int - gt_kp2, axis=2) * vm_crop
+        alldis["mean_kp2d_distance"].append(
+            float(d2.sum() / max((vm_crop != 0).sum(), 1)))
         alldis["id"].extend(
             np.asarray(batch["image_id"])[sl].tolist())
         alldis["dis3d"].extend(m_fk["image_dis3d_avg"][sl])
@@ -259,10 +299,12 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
     mean_depth_error = float(np.mean(alldis["deptherror"]))
     mean_rot_error = float(np.mean(alldis["mean_rot_angle"]) / np.pi * 180.0)
     rel_depth_error = float(np.mean(alldis["deptherror_relative"]))
+    mean_kp2d_error = float(np.mean(alldis["mean_kp2d_distance"]))
     # device-only forward latency, same methodology as bench.py (the two
     # numbers agree on the same hardware/batch); the loop time above is the
     # end-to-end wall cost incl. prediction transfer + host metrics
-    time_forward = measure_forward_fps(model, robot, state, cfg, batch_size)
+    times = measure_forward_fps(model, robot, state, cfg, batch_size)
+    time_forward = times["all"]
     fps = 1.0 / time_forward if time_forward > 0 else 0.0
 
     lines = [
@@ -273,6 +315,7 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         f"Depth_l1_error/mean (m): {mean_depth_error}",
         f"Rotation_l1_error/mean (degree): {mean_rot_error}",
         f"Relative_l1_error/mean (m): {rel_depth_error}",
+        f"KeypointNet_2d_distance/mean (pixel): {mean_kp2d_error}",
         f"Relative_ADD/AUC: {summary_rel['ADD/AUC']}",
         f"ADD/AUC: {summary['ADD/AUC']}",
         f"ADD/mean (m): {summary['ADD/mean']}",
@@ -290,9 +333,19 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
                      f"{metric_l1joint[i].mean / np.pi * 180.0}")
     lines += [
         "Runtimes:",
+        # branch split via XLA dead-code elimination (see measure_forward_fps
+        # docstring); reference fields at scripts/test.py:267-271
+        f"Runtime of rootnet: {times['root']}",
+        f"Runtime of regression+integral: {times['other']}",
         f"Runtime of all: {time_forward}",
+        f"time_image.mean-time_other.mean: {time_forward - times['other']}",
         f"Runtime of eval loop per image (incl. device->host transfer + "
         f"host metrics): {time_loop.mean}",
+        # FPS_parallel is reported IDENTICAL to FPS by design: the
+        # reference's 1/(time_all - time_other) models its two torch
+        # backbone branches overlapping on separate CUDA streams; under XLA
+        # both branches live in ONE compiled program and are already
+        # co-scheduled, so whole-forward FPS is the honest parallel number.
         f"FPS_parallel: {int(fps)}",
         f"FPS: {int(fps)}",
         "",

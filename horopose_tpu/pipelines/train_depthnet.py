@@ -23,7 +23,8 @@ from horopose_tpu.core.checkpoint import (BestCheckpointKeeper,
 from horopose_tpu.core.engine import (build_depthnet_eval_step,
                                       build_depthnet_train_step,
                                       create_train_state, make_optimizer)
-from horopose_tpu.core.loggers import AverageMeter, create_logger
+from horopose_tpu.core.loggers import (AverageMeter, DeviceLogAccumulator,
+                                       create_logger)
 from horopose_tpu.models.depth_net import RootNet
 from horopose_tpu.parallel import make_mesh, shard_batch
 from horopose_tpu.pipelines.common import (apply_pretrained_backbone,
@@ -94,7 +95,8 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
 
     n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
     for epoch in range(start_epoch, n_epochs):
-        loss_meter = AverageMeter()
+        # one host sync per 100 steps, not one per batch (DeviceLogAccumulator)
+        acc = DeviceLogAccumulator(flush_every=100)
         for batchid, batch in enumerate(train_loader):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break
@@ -102,17 +104,20 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
                 batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
-            loss_meter.add(float(logs["loss"]))
+            acc.push(logs)
             if (batchid + 1) % 100 == 0:
-                writer.add_scalar("Train/loss", loss_meter.mean,
+                acc.flush()
+                writer.add_scalar("Train/loss", acc.mean("loss"),
                                   epoch * steps_per_epoch + batchid + 1)
-        writer.add_scalar("Train/loss_epoch", loss_meter.mean, epoch)
+        acc.flush()
+        writer.add_scalar("Train/loss_epoch", acc.mean("loss"), epoch)
 
         depth_errors = {}
         for name, loader in loaders["test"].items():
             depth_errors[name] = validate(name, loader, epoch)
         keeper.maybe_save(depth_errors, state, epoch)
-        print(f"[depthnet] epoch {epoch}: train_loss={loss_meter.mean:.4f} "
+        print(f"[depthnet] epoch {epoch}: "
+              f"train_loss={acc.mean('loss'):.4f} "
               f"depth_errors={depth_errors}")
     writer.close()
     return state

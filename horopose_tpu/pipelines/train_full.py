@@ -22,7 +22,8 @@ from horopose_tpu.core.checkpoint import (BestCheckpointKeeper,
 from horopose_tpu.core.engine import (build_full_eval_step,
                                       build_full_train_step,
                                       create_train_state, make_optimizer)
-from horopose_tpu.core.loggers import AverageMeter, create_logger
+from horopose_tpu.core.loggers import (AverageMeter, DeviceLogAccumulator,
+                                       create_logger)
 from horopose_tpu.core.metrics import (ADD_THRESHOLDS_MM, PCK_THRESHOLDS_PX,
                                        compute_metrics_batch, summary_add_pck)
 from horopose_tpu.parallel import make_mesh, shard_batch
@@ -38,11 +39,17 @@ _LOSS_TAGS = ["loss_joint", "loss_rot", "loss_trans", "loss_uv", "loss_depth",
 
 def init_fullnet_state(cfg, model, tx, rng=None):
     rng = rng if rng is not None else jax.random.PRNGKey(C.GLOBAL_SEED)
-    size = int(cfg.image_size)
-    dummy = jnp.zeros((1, size, size, 3))
+    # size the init dummies by the actual crop geometry — the reg branch
+    # follows other_image_size, the root branch rootnet_image_size
+    # (reference: utils.py:77-78); a square cfg.image_size dummy crashes
+    # model.init whenever other_image_size != image_size
+    from horopose_tpu.pipelines.common import crop_sizes
+    rootnet_hw, other_hw = crop_sizes(cfg)
     k = jnp.ones((1,))
     K = jnp.eye(3)[None]
-    variables = model.init({"params": rng, "dropout": rng}, dummy, dummy, k,
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, *other_hw, 3)),
+                           jnp.zeros((1, *rootnet_hw, 3)), k,
                            K, train=False)
     state = create_train_state(variables, tx)
     # ImageNet backbone init first (full_net.py:413-415); a stage-1
@@ -210,8 +217,9 @@ def train_full(cfg, max_epochs=None, max_steps_per_epoch=None):
 
     n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
     for epoch in range(start_epoch, n_epochs):
-        loss_meter = AverageMeter()
-        tag_meters = {t: AverageMeter() for t in _LOSS_TAGS}
+        # device-side log accumulation: one host sync per 100 steps (the TB
+        # cadence), not one per batch — see DeviceLogAccumulator
+        acc = DeviceLogAccumulator(flush_every=100)
         for batchid, batch in enumerate(train_loader):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break
@@ -219,22 +227,22 @@ def train_full(cfg, max_epochs=None, max_steps_per_epoch=None):
                 batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
-            loss_meter.add(float(logs["loss"]))
-            for t in _LOSS_TAGS:
-                tag_meters[t].add(float(logs[t]))
+            acc.push(logs)
             if (batchid + 1) % 100 == 0:
+                acc.flush()
                 gstep = epoch * steps_per_epoch + batchid + 1
-                writer.add_scalar("Train/loss", loss_meter.mean, gstep)
+                writer.add_scalar("Train/loss", acc.mean("loss"), gstep)
                 for t in _LOSS_TAGS:
-                    writer.add_scalar(f"Train/{t}", tag_meters[t].mean, gstep)
-        writer.add_scalar("Train/loss_epoch", loss_meter.mean, epoch)
+                    writer.add_scalar(f"Train/{t}", acc.mean(t), gstep)
+        acc.flush()
+        writer.add_scalar("Train/loss_epoch", acc.mean("loss"), epoch)
 
         auc_adds = {}
         for name, loader in loaders["test"].items():
             auc_adds[name] = validate_full(cfg, robot, eval_step, state,
                                            loader, writer, epoch, name, mesh)
         keeper.maybe_save(auc_adds, state, epoch)
-        print(f"[train_full] epoch {epoch}: loss={loss_meter.mean:.4f} "
+        print(f"[train_full] epoch {epoch}: loss={acc.mean('loss'):.4f} "
               f"auc_add={auc_adds}")
     writer.close()
     return state

@@ -34,7 +34,8 @@ from horopose_tpu.core.checkpoint import (BestCheckpointKeeper,
 from horopose_tpu.core.engine import (TrainState, build_full_eval_step,
                                       make_optimizer, prepare_gt,
                                       _forward)
-from horopose_tpu.core.loggers import AverageMeter, create_logger
+from horopose_tpu.core.loggers import (AverageMeter, DeviceLogAccumulator,
+                                       create_logger)
 from horopose_tpu.models.common import frozen_batchnorm
 from horopose_tpu.models.deeplab import SegTeacher
 from horopose_tpu.kinematics.meshes import (build_robot_mesh,
@@ -350,10 +351,11 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                                             cfg.batch_size, n=track_n)
             print(f"[sim2real] tracking worst views on {name}: "
                   f"{tracked[name]}")
+    _S2R_TAGS = ("loss", "loss_mask", "loss_iou", "loss_scale",
+                 "loss_error3d_align", "cull_overflow")
     for epoch in range(start_epoch, n_epochs):
-        meters = {t: AverageMeter() for t in
-                  ("loss", "loss_mask", "loss_iou", "loss_scale",
-                   "loss_error3d_align", "cull_overflow")}
+        # one host sync per 10 steps (the TB cadence here), not per batch
+        acc = DeviceLogAccumulator(flush_every=10)
         for batchid, batch in enumerate(train_loader):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break
@@ -361,14 +363,15 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                 batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
-            for t in meters:
-                meters[t].add(float(logs[t]))
+            acc.push({t: logs[t] for t in _S2R_TAGS})
             if (batchid + 1) % 10 == 0:
+                acc.flush()
                 gstep = epoch * steps_per_epoch + batchid + 1
-                for t in meters:
-                    writer.add_scalar(f"Train/{t}", meters[t].mean, gstep)
-        for t in meters:  # end-of-epoch flush
-            writer.add_scalar(f"Train/{t}", meters[t].mean,
+                for t in _S2R_TAGS:
+                    writer.add_scalar(f"Train/{t}", acc.mean(t), gstep)
+        acc.flush()
+        for t in _S2R_TAGS:  # end-of-epoch flush
+            writer.add_scalar(f"Train/{t}", acc.mean(t),
                               (epoch + 1) * steps_per_epoch)
         auc_adds = {}
         for name, loader in cfg_loaders["test"].items():

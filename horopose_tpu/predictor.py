@@ -33,6 +33,24 @@ from horopose_tpu.ops.transforms import k_value_from_bbox, project_points
 from horopose_tpu.pipelines.common import build_fullnet, make_robot
 
 
+# Measured v5e batch-size ladder (PERF_NOTES round-3/4 sweep): throughput is
+# NON-monotonic in batch — b128 hits the conv tiling sweet spot (2506 img/s)
+# while b160 lands on a cliff (1817, 19% BELOW b96). Callers must not be able
+# to silently submit a cliff batch, so submitted batches are padded UP to the
+# nearest ladder size (<=128) or the next multiple of 128 (>128); the pad
+# rows are trimmed from every output. Bucketing also bounds the number of
+# distinct compiled shapes in a serving process.
+_BATCH_LADDER = (1, 2, 4, 8, 16, 32, 64, 96, 128)
+
+
+def tiling_friendly_batch(b: int) -> int:
+    """Smallest tiling-friendly batch >= b (see _BATCH_LADDER)."""
+    for s in _BATCH_LADDER:
+        if b <= s:
+            return s
+    return -(-b // 128) * 128
+
+
 class Predictor:
     def __init__(self, cfg, variables, dtype=jnp.float32, mesh=None):
         """mesh: optional jax.sharding.Mesh (1-D, 'data' axis) for
@@ -154,11 +172,22 @@ class Predictor:
         """images (B, H, W, 3) uint8 full frames; K (B, 3, 3); bboxes
         (B, 4) xyxy robot boxes (full frame when omitted)."""
         crops, K_crops, k_values = self.preprocess(images, K, bboxes)
-        variables, x, k, Kc, pad = self._device_args(crops, k_values,
-                                                     K_crops)
+        # pad up to a tiling-friendly size so callers cannot land on a
+        # throughput cliff (see _BATCH_LADDER); trimmed below
+        B = len(crops)
+        target = tiling_friendly_batch(B)
+        if target > B:
+            reps = target - B
+            crops = np.concatenate([crops, np.repeat(crops[-1:], reps, 0)])
+            k_values = np.concatenate(
+                [k_values, np.repeat(k_values[-1:], reps, 0)])
+            K_crops = np.concatenate(
+                [K_crops, np.repeat(K_crops[-1:], reps, 0)])
+        variables, x, k, Kc, _ = self._device_args(crops, k_values,
+                                                   K_crops)
         out = self._forward(variables, x, k, Kc)
-        if pad:
-            out = jax.tree.map(lambda a: a[:-pad], out)
+        if x.shape[0] > B:
+            out = jax.tree.map(lambda a: a[:B], out)
         kp3d = np.asarray(out["xyz_fk"])
         kp2d = np.asarray(project_points(jnp.asarray(K, jnp.float32),
                                          jnp.asarray(kp3d)))

@@ -55,12 +55,78 @@ def make_fake_batch(B, size, nk, dof):
     )
 
 
+def run_pipeline_mode(args, cfg, robot, model):
+    """Time the ACTUAL training-loop shape of pipelines/train_full.py —
+    DataLoader (decode-cached) -> jitted donated step -> DeviceLogAccumulator
+    — on a synthetic on-disk DREAM set, steady-state epoch after a warmup
+    epoch (compile + cache fill). The chained-scan number (default mode) is
+    the device ceiling; this is what the pipeline actually delivers."""
+    import tempfile
+
+    from horopose_tpu.core.engine import (build_full_train_step,
+                                          create_train_state, make_optimizer)
+    from horopose_tpu.core.loggers import DeviceLogAccumulator
+    from horopose_tpu.pipelines.common import get_dataloaders
+
+    tests_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests")
+    sys.path.insert(0, tests_dir)
+    from fixtures import make_synthetic_dream_dataset
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipeline_")
+    n_images = min(args.batch_size * 8, 512)
+    d = make_synthetic_dream_dataset(tmp, "panda", n_images=n_images,
+                                     split="train_dr", seed=0)
+    cfg.train_ds_names = str(d)
+    cfg.batch_size = args.batch_size
+    cfg.epoch_size = args.batch_size * args.iters
+    cfg.decode_cache = True
+    cfg.n_dataloader_workers = 4
+
+    loaders = get_dataloaders(cfg)
+    size = int(cfg.image_size)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda r, x, k, K: model.init(
+        {"params": r, "dropout": r}, x, x, k, K, train=False))(
+        rng, jnp.zeros((1, size, size, 3)), jnp.ones((1,)), jnp.eye(3)[None])
+    tx = make_optimizer(cfg, 1000)
+    state = create_train_state(variables, tx)
+    step = build_full_train_step(cfg, model, robot, tx)
+
+    def one_epoch(state, rng):
+        acc = DeviceLogAccumulator(flush_every=100)
+        n = 0
+        t0 = time.perf_counter()
+        for batch in loaders["train"]:
+            rng, sub = jax.random.split(rng)
+            state, logs = step(state, jax.tree.map(jnp.asarray, batch), sub)
+            acc.push(logs)
+            n += args.batch_size
+        acc.flush()
+        jax.block_until_ready(state.params)
+        return state, rng, n, time.perf_counter() - t0, acc.mean("loss")
+
+    state, rng, n, dt, _ = one_epoch(state, rng)   # compile + cache fill
+    print(f"# pipeline warmup epoch: {n} imgs in {dt:.1f}s", file=sys.stderr)
+    state, rng, n, dt, loss = one_epoch(state, rng)
+    ips = n / dt
+    print(json.dumps({"metric": "train_pipeline_throughput",
+                      "value": round(ips, 1), "unit": "images/sec/chip",
+                      "epoch_s": round(dt, 2), "images": n,
+                      "batch_size": args.batch_size,
+                      "loss": round(float(loss), 2)}))
+    loaders["train"].close()
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--iters", type=int, default=5)
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 backbone compute (mixed precision)")
+    p.add_argument("--pipeline", action="store_true",
+                   help="time the real pipeline loop (loader -> step -> "
+                        "meters) instead of the on-device chained scan")
     args = p.parse_args()
 
     from horopose_tpu.config import make_default_cfg
@@ -80,6 +146,9 @@ def main():
 
     robot = make_robot(cfg)
     model = build_fullnet(cfg)
+    if args.pipeline:
+        run_pipeline_mode(args, cfg, robot, model)
+        return
     size = int(cfg.image_size)
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()

@@ -65,9 +65,39 @@ class EasyDict(dict):
             raise AttributeError(name) from e
 
 
+def _autograd_bridge(jax_fn, *tensors):
+    """Run a jax function on torch tensors WITH gradient flow: forward
+    evaluates the jax function, backward applies its jax VJP to the torch
+    cotangent. Lets torch autograd differentiate THROUGH the bridged FK, so
+    reference-vs-ours gradient parity tests can include the FK-dependent
+    losses (the FK VJP itself is shared — jax autodiff of oracle-tested FK
+    code — while everything up- and downstream stays framework-native)."""
+    import jax
+    import jax.numpy as jnp
+
+    class _F(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, *args):
+            jargs = tuple(jnp.asarray(np.asarray(
+                a.detach().cpu().numpy(), np.float32)) for a in args)
+            out, vjp = jax.vjp(jax_fn, *jargs)
+            ctx._vjp = vjp
+            return torch.from_numpy(np.asarray(out, np.float32))
+
+        @staticmethod
+        def backward(ctx, g):
+            cots = ctx._vjp(jnp.asarray(np.asarray(
+                g.detach().cpu().numpy(), np.float32)))
+            return tuple(torch.from_numpy(np.asarray(c, np.float32))
+                         for c in cots)
+
+    return _F.apply(*tensors)
+
+
 class BridgeURDFRobot:
     """Drop-in for the reference's URDFRobot FK surface, backed by our
-    compiled-plan kinematics (horopose_tpu/kinematics)."""
+    compiled-plan kinematics (horopose_tpu/kinematics). Differentiable:
+    torch autograd flows through the bridged jax FK via its VJP."""
 
     def __init__(self, robot_type):
         from horopose_tpu import constants as C
@@ -79,29 +109,22 @@ class BridgeURDFRobot:
         self.dof = self._robot.dof
         self.link_names = list(C.KEYPOINT_NAMES[robot_type])
 
-    @staticmethod
-    def _j(t):
-        import jax.numpy as jnp
-        return jnp.asarray(np.asarray(t.detach().cpu().numpy(), np.float32))
-
-    @staticmethod
-    def _t(x):
-        return torch.from_numpy(np.asarray(x, np.float32))
-
     def get_keypoints(self, pose, rot, trans):
-        return self._t(self._robot.get_keypoints(
-            self._j(pose), self._j(rot), self._j(trans)))
+        return _autograd_bridge(self._robot.get_keypoints, pose, rot, trans)
 
     def get_keypoints_root(self, pose, rot, trans, root=0):
-        return self._t(self._robot.get_keypoints_root(
-            self._j(pose), self._j(rot), self._j(trans), root=int(root)))
+        def fn(p, r, t):
+            return self._robot.get_keypoints_root(p, r, t, root=int(root))
+        return _autograd_bridge(fn, pose, rot, trans)
 
     def get_keypoints_only_fk(self, pose):
-        return self._t(self._robot.get_keypoints_only_fk(self._j(pose)))
+        return _autograd_bridge(self._robot.get_keypoints_only_fk, pose)
 
     def get_rotation_at_specific_root(self, pose, rot, trans, root=0):
-        return self._t(self._robot.get_rotation_at_specific_root(
-            self._j(pose), self._j(rot), self._j(trans), root=int(root)))
+        def fn(p, r, t):
+            return self._robot.get_rotation_at_specific_root(
+                p, r, t, root=int(root))
+        return _autograd_bridge(fn, pose, rot, trans)
 
 
 def _stub_module(name, **attrs):
@@ -159,6 +182,35 @@ def setup_reference_imports():
     if ref_root not in sys.path:
         sys.path.append(ref_root)
     _ready = True
+
+
+def import_reference_bpnp():
+    """Import the reference's REAL lib.utils.BPnP (cv2-backed) on CPU-only
+    torch. BPnP.py:2 builds a CUDA tensor at module import (a lazy-wrapper
+    workaround in the reference); temporarily strip the device kwarg from
+    torch.tensor so the import succeeds, then restore. Replaces any stub
+    previously installed under the same module name, and returns the module
+    so callers can rebind `ref_function.BPnP_m3d` (function.py:9 binds the
+    NAME at import time)."""
+    import importlib
+
+    setup_reference_imports()
+    mod = sys.modules.get("lib.utils.BPnP")
+    if mod is not None and getattr(mod, "__file__", None):
+        return mod  # the real one is already in
+    sys.modules.pop("lib.utils.BPnP", None)
+    orig_tensor = torch.tensor
+
+    def patched(*a, **k):
+        k.pop("device", None)
+        return orig_tensor(*a, **k)
+
+    torch.tensor = patched
+    try:
+        mod = importlib.import_module("lib.utils.BPnP")
+    finally:
+        torch.tensor = orig_tensor
+    return mod
 
 
 def randomize_state_dict(sd, rng, skip=("init_pose", "init_rot")):

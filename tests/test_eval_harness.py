@@ -75,7 +75,12 @@ def test_eval_converted_reference_checkpoint(eval_ws, tmp_path, monkeypatch,
     for needle in ("ADD/AUC:", "PCK/AUC:", "ADD<10mm:", "ADD_2d<2.5pixel:",
                    "Joint_l1_error/mean (degree):",
                    "Rotation_l1_error/mean (degree):",
-                   "Runtime of all:", "FPS:"):
+                   "KeypointNet_2d_distance/mean (pixel):",
+                   "Runtime of rootnet:",
+                   "Runtime of regression+integral:",
+                   "Runtime of all:",
+                   "time_image.mean-time_other.mean:",
+                   "FPS_parallel:", "FPS:"):
         assert needle in text, needle
     # reconciled runtime reporting: forward FPS (bench methodology) and the
     # host-side loop cost are separate lines

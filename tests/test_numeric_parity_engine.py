@@ -94,6 +94,119 @@ def _to_ref_batch(batch, robot_type):
     }
 
 
+def test_full_engine_loss_parity_real_pnp_branch(ref_engine, rng, tmp_path):
+    """END-TO-END parity of the REAL-dataset branch: train_ds_names without
+    'synth' makes the reference compute pseudo-GT rotation via the REAL
+    lib.utils.BPnP (cv2.solvePnP EPNP+ITERATIVE, BPnP.py:129-151) inside
+    farward_loss (function.py:67-75), vs our eval step with ops/pnp.py as
+    pnp_fn. On the clean fixture the two solvers agree to ~2e-4 rad
+    (scripts/measure_pnp_cv2.py), so every loss must match to 2e-3."""
+    import torch
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.core.engine import (build_full_eval_step,
+                                          create_train_state, make_optimizer)
+    from horopose_tpu.data import DataLoader, DreamDataset
+    from horopose_tpu.kinematics import Robot
+    from horopose_tpu.pipelines.common import build_fullnet, make_pnp_fn
+    from horopose_tpu.tools.torch_weights import (
+        convert_fullnet_reference_checkpoint, merge_into)
+    from dataset.const import INITIAL_JOINT_ANGLE
+    from ref_torch import BridgeURDFRobot, import_reference_bpnp, to_numpy_sd
+
+    ref_config, ref_function, ref_full = ref_engine
+    bpnp_mod = import_reference_bpnp()
+    assert bpnp_mod.BPnP_m3d is not None
+    # function.py:9 binds the name at import time; swap the stub for real
+    old_bpnp = ref_function.BPnP_m3d
+    ref_function.BPnP_m3d = bpnp_mod.BPnP_m3d
+    try:
+        d = make_synthetic_dream_dataset(tmp_path, "panda", n_images=B,
+                                         synthetic=False, split="azure",
+                                         seed=77)
+        ds = DreamDataset(d, color_jitter=False, rgb_augmentation=False,
+                          occlusion_augmentation=False,
+                          rootnet_resize_hw=(IMG, IMG),
+                          other_resize_hw=(IMG, IMG))
+        loader = DataLoader(ds, batch_size=B, num_workers=2, drop_last=False)
+        np_batch = next(iter(loader))
+        loader.close()
+
+        args = ref_config.make_default_cfg()
+        args.urdf_robot_name = "panda"
+        args.train_ds_names = str(d)        # NO 'synth': real BPnP branch
+        assert "synth" not in str(d)
+        args.backbone_name = "resnet34"
+        args.rootnet_backbone_name = "resnet34"
+        args.image_size = float(IMG)
+        args.other_image_size = float(IMG)
+        args.rootnet_image_size = float(IMG)
+        args.use_origin_bbox = False
+        args.use_extended_bbox = True
+        args.reference_keypoint_id = 3
+        args.fix_root = True
+        for k, v in _WEIGHTS.items():
+            args[k] = v
+
+        init_param_dict = {
+            "robot_type": "panda",
+            "pose_params": INITIAL_JOINT_ANGLE,
+            "cam_params": np.eye(4, dtype=float),
+            "init_pose_from_mean": True,
+        }
+        tmodel = ref_full.RootNetwithRegInt(init_param_dict, args)
+        tmodel.load_state_dict(randomize_state_dict(tmodel.state_dict(),
+                                                    rng))
+        robot_bridge = BridgeURDFRobot("panda")
+        ref_batch = _to_ref_batch(np_batch, "panda")
+        with torch.no_grad():
+            t_loss, t_loss_dict, t_metrics = ref_function.farward_loss(
+                args, ref_batch, tmodel, robot_bridge, torch.device("cpu"),
+                [0], train=False)
+    finally:
+        ref_function.BPnP_m3d = old_bpnp
+
+    cfg = make_default_cfg()
+    cfg.urdf_robot_name = "panda"
+    cfg.train_ds_names = str(d)
+    cfg.backbone_name = "resnet34"
+    cfg.rootnet_backbone_name = "resnet34"
+    cfg.image_size = float(IMG)
+    cfg.use_origin_bbox = False
+    cfg.use_extended_bbox = True
+    cfg.reference_keypoint_id = 3
+    cfg.fix_root = True
+    for k, v in _WEIGHTS.items():
+        cfg[k] = v
+
+    model = build_fullnet(cfg)
+    robot = Robot("panda")
+    key = jax.random.PRNGKey(0)
+    variables = model.init({"params": key, "dropout": key},
+                           jnp.zeros((1, IMG, IMG, 3)),
+                           jnp.zeros((1, IMG, IMG, 3)), jnp.ones((1,)),
+                           jnp.eye(3)[None], train=False)
+    variables = merge_into(variables, convert_fullnet_reference_checkpoint(
+        to_numpy_sd(tmodel), "resnet34", "resnet34"))
+    state = create_train_state(variables, make_optimizer(cfg, 1))
+    pnp_fn = make_pnp_fn(cfg.train_ds_names)
+    assert pnp_fn is not None  # real path engaged
+    eval_step = build_full_eval_step(cfg, model, robot, pnp_fn=pnp_fn)
+    j_batch = jax.tree.map(jnp.asarray, np_batch)
+    _, _, logs = eval_step(state, j_batch)
+
+    t_all = {k: float(v) for k, v in t_loss_dict.items()}
+    t_all["loss"] = float(t_loss)
+    t_all["rotation_diff"] = float(t_metrics["rotation_diff"])
+    mismatches = []
+    for name, tv in sorted(t_all.items()):
+        ov = float(logs[name])
+        denom = max(abs(tv), 1e-3)
+        if abs(ov - tv) / denom > 2e-3:
+            mismatches.append(f"{name}: ref {tv:.6f} vs ours {ov:.6f}")
+    assert not mismatches, "; ".join(mismatches)
+    print("[engine parity real-pnp] loss =", t_all["loss"])
+
+
 @pytest.mark.parametrize("use_origin,use_extended", [
     (False, True),    # flagship (full.yaml: use_extended_bbox True)
     (False, False),   # k-values from root.K + strict-bounded crop bbox

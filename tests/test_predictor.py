@@ -61,6 +61,20 @@ def test_predictor_from_experiment(experiment, rng):
     # full-frame default bbox also works
     out2 = pred(images, K)
     assert out2["joints"].shape == (B, 8)
+    # cliff-proof bucketing: an odd batch is padded up to the next ladder
+    # size internally, outputs trimmed back to the submitted size
+    images3 = np.concatenate([images, images[:1]])
+    out3 = pred(images3, np.concatenate([K, K[:1]]),
+                np.concatenate([bboxes, bboxes[:1]]))
+    assert out3["joints"].shape == (3, 8)
+    assert np.isfinite(out3["keypoints_3d"]).all()
+
+
+def test_tiling_friendly_batch():
+    from horopose_tpu.predictor import tiling_friendly_batch as t
+    assert t(1) == 1 and t(3) == 4 and t(64) == 64 and t(65) == 96
+    assert t(128) == 128 and t(129) == 256 and t(160) == 256
+    assert t(300) == 384
 
 
 def test_predictor_mesh_serving_matches_single_device(experiment, rng):
