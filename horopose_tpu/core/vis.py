@@ -27,9 +27,20 @@ def _plt():
         return None
 
 
-# skeleton edges = consecutive keypoints (the DREAM keypoint chains)
+# skeleton edges = consecutive keypoints (the DREAM keypoint chains;
+# reference CONNECTIVITY_DICT, vis.py:12-14)
 def _edges(num_keypoints: int):
     return [(i, i + 1) for i in range(num_keypoints - 1)]
+
+
+# the reference's limb palette (vis.py:15-33): per-limb colors for the
+# prediction skeleton, uniform light red for GT
+_PRED_LIMB_COLORS = [(140, 140, 255), (150, 235, 120), (165, 175, 215),
+                     (135, 153, 124), (140, 140, 255), (150, 235, 120),
+                     (165, 175, 215)]
+_GT_LIMB_COLOR = (255, 70, 70)
+_DARKBLUE = (70, 80, 150)
+_LIGHTBLUE = (140, 140, 255)
 
 
 def overlay_keypoints_2d(ax, image: np.ndarray, kp2d: np.ndarray,
@@ -50,21 +61,43 @@ def skeleton_3d(ax, kp3d: np.ndarray, color="tab:blue", label=None):
         ax.plot(kp3d[[a, b], 0], kp3d[[a, b], 1], kp3d[[a, b], 2], c=color)
 
 
+def _skeleton_3d_ref(ax, kp3d: np.ndarray, limb_colors, point_rgb,
+                     lw: float = 3.5, point_s: float = 25):
+    """One skeleton in the reference's 3D convention (vis.py:108-125):
+    plotted as (x, z, y) with the vertical axis inverted by the fixed
+    z-limits, per-limb colors, thick round-capped lines."""
+    ax.scatter(kp3d[:, 0], kp3d[:, 2], kp3d[:, 1], s=point_s,
+               c=[np.array(point_rgb) / 255.0])
+    for i, (a, b) in enumerate(_edges(len(kp3d))):
+        c = np.array(limb_colors[i % len(limb_colors)]) / 255.0
+        ax.plot(kp3d[[a, b], 0], kp3d[[a, b], 2], kp3d[[a, b], 1],
+                lw=lw, ls="-", c=c, solid_capstyle="round")
+
+
+def _set_ref_bounds(ax):
+    """Fixed world-box of the reference grid (vis.py:125-128):
+    x in [-0.5, 0.5], depth in [0.5, 2.0], vertical inverted."""
+    ax.set_xlim(-0.5, 0.5)
+    ax.set_ylim(0.5, 2.0)
+    ax.set_zlim(0.4, -0.5)
+
+
 def vis_joints_3d(images: np.ndarray, pred_kp3d: np.ndarray,
                   gt_kp3d: np.ndarray, pred_kp2d: np.ndarray,
                   gt_kp2d: np.ndarray, save_path: str,
                   n_samples: int = 4, views=(-70, -40, 0, 20, 50),
                   errors=None):
-    """Grid figure: image + 2D overlay + rotating multi-azimuth 3D skeleton
-    views per sample. The azimuth sweep and the per-sample ADD error in the
-    title match the reference grid (vis.py:40-368: elev=12, azim -70..50,
-    'error/ADD: ...m, (prediction: blue, gt: red)')."""
+    """The reference's 8-column grid (vis.py:40-368), one row per sample:
+    [image + 2D overlays | prediction-only @-70 | gt-only @-70 |
+    prediction+gt at azim -70/-40/0/20/50], elev=12 throughout, fixed world
+    box, per-limb prediction palette vs light-red GT, per-sample
+    'error/ADD: ...m' title on the image column."""
     plt = _plt()
     if plt is None:
         return
     n = min(n_samples, len(images))
-    cols = 1 + len(views)
-    fig = plt.figure(figsize=(4 * cols, 4 * n))
+    cols = 3 + len(views)
+    fig = plt.figure(figsize=(3 * cols, round(3 * n * 0.85)))
     for i in range(n):
         ax = fig.add_subplot(n, cols, i * cols + 1)
         overlay_keypoints_2d(ax, images[i], pred_kp2d[i], gt_kp2d=gt_kp2d[i])
@@ -72,15 +105,34 @@ def vis_joints_3d(images: np.ndarray, pred_kp3d: np.ndarray,
         if errors is not None:
             title = f"error/ADD: {errors[i]:0.5f}m, " \
                     "(prediction: blue, gt: red)"
-        ax.set_title(title)
+        ax.set_title(title, fontsize=8)
+
+        # prediction-only and gt-only columns (vis.py:109-160)
+        ax3 = fig.add_subplot(n, cols, i * cols + 2, projection="3d")
+        _skeleton_3d_ref(ax3, pred_kp3d[i], _PRED_LIMB_COLORS, _DARKBLUE)
+        _set_ref_bounds(ax3)
+        ax3.view_init(elev=12, azim=-70)
+        if i == 0:
+            ax3.set_title("prediction", fontsize=8)
+        ax3 = fig.add_subplot(n, cols, i * cols + 3, projection="3d")
+        _skeleton_3d_ref(ax3, gt_kp3d[i], [_GT_LIMB_COLOR], _DARKBLUE)
+        _set_ref_bounds(ax3)
+        ax3.view_init(elev=12, azim=-70)
+        if i == 0:
+            ax3.set_title("gt", fontsize=8)
+
+        # rotating prediction+gt columns (vis.py:166-368)
         for v, azim in enumerate(views):
-            ax3 = fig.add_subplot(n, cols, i * cols + 2 + v,
+            ax3 = fig.add_subplot(n, cols, i * cols + 4 + v,
                                   projection="3d")
-            skeleton_3d(ax3, pred_kp3d[i], color="tab:blue", label="pred")
-            skeleton_3d(ax3, gt_kp3d[i], color="tab:red", label="gt")
+            _skeleton_3d_ref(ax3, pred_kp3d[i], _PRED_LIMB_COLORS,
+                             _LIGHTBLUE, lw=3.5, point_s=25)
+            _skeleton_3d_ref(ax3, gt_kp3d[i], [_GT_LIMB_COLOR], _DARKBLUE,
+                             lw=2.0, point_s=10)
+            _set_ref_bounds(ax3)
             ax3.view_init(elev=12, azim=azim)
-            if v == 0:
-                ax3.legend(loc="upper right", fontsize=7)
+            if i == 0:
+                ax3.set_title("prediction + gt", fontsize=8)
     os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
     fig.tight_layout()
     fig.savefig(save_path, dpi=80)

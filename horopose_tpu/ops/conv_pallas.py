@@ -31,34 +31,41 @@ from jax.experimental.pallas import tpu as pltpu
 def pack_weights(w: jnp.ndarray) -> jnp.ndarray:
     """(3, 3, C, F) -> (16*C, 4*F) packed GEMM matrix.
 
-    Row index (dy, dx, c) with dy = p+ky, dx = q+kx in [0, 4); column
-    (p, q, f). Zeros where (dy-p, dx-q) falls outside the 3x3 window."""
+    Row index (ry, rx, py, px, c) — the NATURAL layout of the in-kernel
+    patch (a lane-axis concatenation of the four packed-input quads; Mosaic
+    cannot split the lane dimension with a reshape, so the tap reordering
+    lives here on the host instead). dy = 2*ry+py, dx = 2*rx+px index the
+    4x4 joint window; column (p, q, f). Zeros where (dy-p, dx-q) falls
+    outside the 3x3 window."""
     C, F = w.shape[2], w.shape[3]
     wp = jnp.zeros((4, 4, C, 2, 2, F), w.dtype)
     for p in (0, 1):
         for q in (0, 1):
             wp = wp.at[p:p + 3, q:q + 3, :, p, q, :].set(w)
+    wp = wp.reshape(2, 2, 2, 2, C, 2, 2, F)      # ry,py,rx,px,c,p,q,f
+    wp = wp.transpose(0, 2, 1, 3, 4, 5, 6, 7)    # ry,rx,py,px,c,p,q,f
     return wp.reshape(16 * C, 4 * F)
 
 
 def _kernel(xs_ref, w_ref, out_ref):
     """xs_ref: (TB, hp+1, wp+1, 4*C) space-to-depth-packed padded input;
-    w_ref: (16*C, 4*F); out_ref: (TB, hp, wp, 4*F) packed output."""
+    w_ref: (4, 4*C, 4*F) per-quad weight slabs; out_ref: (TB, hp, wp, 4*F)
+    packed output.
+
+    The joint 4x4 input patch of each packed output cell is the 2x2 block
+    of packed input cells at (i..i+1, j..j+1). Mosaic supports neither the
+    lane-splitting reshape nor concatenation of offset slices, so the K=16C
+    GEMM is computed as FOUR accumulated K=4C GEMMs — with C=32 each dot
+    has K=128, exactly the MXU's systolic depth, so nothing is lost."""
     TB, hp1, wp1, c4 = xs_ref.shape
     hp, wp = hp1 - 1, wp1 - 1
-    C = c4 // 4
-    F = w_ref.shape[1] // 4
+    F = w_ref.shape[2] // 4
     xs = xs_ref[...]
-    # joint 4x4 input patch of each packed output cell = the 2x2 block of
-    # packed input cells at (i..i+1, j..j+1); four static slices
-    quads = [xs[:, ry:ry + hp, rx:rx + wp, :]
-             for ry in (0, 1) for rx in (0, 1)]             # 4 x (TB,hp,wp,4C)
-    patch = jnp.stack(quads, axis=3)                        # (TB,hp,wp,4,4C)
-    patch = patch.reshape(TB, hp, wp, 2, 2, 2, 2, C)        # ry,rx,py,px,c
-    patch = patch.transpose(0, 1, 2, 3, 5, 4, 6, 7)         # ry,py,rx,px,c
-    patch = patch.reshape(TB * hp * wp, 16 * C)
-    acc = jnp.dot(patch, w_ref[...],
-                  preferred_element_type=jnp.float32)       # (M, 4F)
+    acc = jnp.zeros((TB * hp * wp, 4 * F), jnp.float32)
+    for idx, (ry, rx) in enumerate(((0, 0), (0, 1), (1, 0), (1, 1))):
+        quad = xs[:, ry:ry + hp, rx:rx + wp, :].reshape(TB * hp * wp, c4)
+        acc = acc + jnp.dot(quad, w_ref[idx],
+                            preferred_element_type=jnp.float32)
     out_ref[...] = acc.reshape(TB, hp, wp, 4 * F).astype(out_ref.dtype)
 
 
@@ -80,7 +87,9 @@ def conv3x3_s2d_pallas(x: jnp.ndarray, w: jnp.ndarray,
     xs = xpad.reshape(B, hp + 1, 2, wp + 1, 2, C)
     xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(B, hp + 1, wp + 1, 4 * C)
 
-    wmat = pack_weights(w).astype(x.dtype)
+    # per-quad slabs: rows of pack_weights are (ry, rx, py, px, c)-ordered,
+    # so a plain reshape splits them into the four (4C, 4F) quad matrices
+    wmat = pack_weights(w).astype(x.dtype).reshape(4, 4 * C, 4 * F)
 
     yp = pl.pallas_call(
         _kernel,
@@ -88,7 +97,7 @@ def conv3x3_s2d_pallas(x: jnp.ndarray, w: jnp.ndarray,
         in_specs=[
             pl.BlockSpec((block_b, hp + 1, wp + 1, 4 * C),
                          lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((16 * C, 4 * F), lambda i: (0, 0),
+            pl.BlockSpec((4, 4 * C, 4 * F), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((block_b, hp, wp, 4 * F),
