@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import os
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -89,6 +90,10 @@ class BatchNorm(nn.BatchNorm):
                 for ax in reduction_axes:
                     n *= x.shape[ax]
                 bessel = float(n) / float(max(n - 1, 1))
+                # ablation knob (A/B-ing training-dynamics effects): restore
+                # flax's biased running-var update
+                if os.environ.get("HOROPOSE_BN_BIASED_RUNNING_VAR") == "1":
+                    bessel = 1.0
                 ra_mean.value = (self.momentum * ra_mean.value +
                                  (1 - self.momentum) * mean)
                 ra_var.value = (self.momentum * ra_var.value +

@@ -386,7 +386,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                 except Exception as e:  # tracking must never kill training
                     print(f"[sim2real] tracking render failed: {e}")
         keeper.maybe_save(auc_adds, state, epoch)
-        print(f"[sim2real] epoch {epoch}: loss={meters['loss'].mean:.4f} "
-              f"mask={meters['loss_mask'].mean:.4f} auc={auc_adds}")
+        print(f"[sim2real] epoch {epoch}: loss={acc.mean('loss'):.4f} "
+              f"mask={acc.mean('loss_mask'):.4f} auc={auc_adds}")
     writer.close()
     return state

@@ -33,22 +33,30 @@ from horopose_tpu.ops.transforms import k_value_from_bbox, project_points
 from horopose_tpu.pipelines.common import build_fullnet, make_robot
 
 
-# Measured v5e batch-size ladder (PERF_NOTES round-3/4 sweep): throughput is
-# NON-monotonic in batch — b128 hits the conv tiling sweet spot (2506 img/s)
-# while b160 lands on a cliff (1817, 19% BELOW b96). Callers must not be able
-# to silently submit a cliff batch, so submitted batches are padded UP to the
-# nearest ladder size (<=128) or the next multiple of 128 (>128); the pad
-# rows are trimmed from every output. Bucketing also bounds the number of
-# distinct compiled shapes in a serving process.
+# Measured v5e batch-size ladder (PERF_NOTES round-3/4 sweep + the round-4
+# branch attribution, scripts/bench_batch_cliff.py): throughput is
+# NON-monotonic in batch — b128 hits the sweet spot (2506 img/s) while every
+# batch ABOVE 128 drops the hrnet32 rootnet branch's throughput by ~35%
+# (XLA picks a worse conv tiling for the 32-channel stack past b128; the
+# resnet reg branch scales flat). Callers must not be able to silently land
+# there, so submitted batches are padded UP to the nearest ladder size
+# (<=128), and batches above 128 are processed in chunks of at most 128
+# (128+128+... with the tail padded up the ladder) — measured faster than
+# one big padded launch. Bucketing also bounds the number of distinct
+# compiled shapes in a serving process.
 _BATCH_LADDER = (1, 2, 4, 8, 16, 32, 64, 96, 128)
+_MAX_CHUNK = 128
 
 
 def tiling_friendly_batch(b: int) -> int:
-    """Smallest tiling-friendly batch >= b (see _BATCH_LADDER)."""
+    """Smallest tiling-friendly batch >= b (see _BATCH_LADDER); sizes above
+    _MAX_CHUNK are handled by chunking in Predictor.__call__, so this only
+    defines the <=128 ladder (and rounds bigger values up to a multiple of
+    _MAX_CHUNK for callers that want a single launch)."""
     for s in _BATCH_LADDER:
         if b <= s:
             return s
-    return -(-b // 128) * 128
+    return -(-b // _MAX_CHUNK) * _MAX_CHUNK
 
 
 class Predictor:
@@ -167,27 +175,42 @@ class Predictor:
         return (self.variables, sharded["x"], sharded["k"], sharded["K"],
                 pad)
 
+    def _forward_bucketed(self, crops, k_values, K_crops):
+        """Forward with cliff-proof batching: pad up the ladder below
+        _MAX_CHUNK; above it, launch chunks of _MAX_CHUNK (every batch
+        >128 runs the hrnet branch ~35% slower than 128-chunked launches —
+        scripts/bench_batch_cliff.py). Outputs trimmed to the true size."""
+        B = len(crops)
+        # under the mesh, chunking would shrink per-device shards instead of
+        # helping; keep the single padded launch there
+        chunk = _MAX_CHUNK if self.mesh is None else max(B, 1)
+        outs = []
+        for lo in range(0, B, chunk):
+            c = crops[lo:lo + chunk]
+            kv = k_values[lo:lo + chunk]
+            Kc = K_crops[lo:lo + chunk]
+            n = len(c)
+            target = tiling_friendly_batch(n) if self.mesh is None else n
+            if target > n:
+                reps = target - n
+                c = np.concatenate([c, np.repeat(c[-1:], reps, 0)])
+                kv = np.concatenate([kv, np.repeat(kv[-1:], reps, 0)])
+                Kc = np.concatenate([Kc, np.repeat(Kc[-1:], reps, 0)])
+            variables, xd, kd, Kd, _ = self._device_args(c, kv, Kc)
+            out = self._forward(variables, xd, kd, Kd)
+            if xd.shape[0] > n:
+                out = jax.tree.map(lambda a: a[:n], out)
+            outs.append(out)
+        if len(outs) == 1:
+            return outs[0]
+        return jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *outs)
+
     def __call__(self, images: np.ndarray, K: np.ndarray,
                  bboxes: Optional[np.ndarray] = None) -> Dict:
         """images (B, H, W, 3) uint8 full frames; K (B, 3, 3); bboxes
         (B, 4) xyxy robot boxes (full frame when omitted)."""
         crops, K_crops, k_values = self.preprocess(images, K, bboxes)
-        # pad up to a tiling-friendly size so callers cannot land on a
-        # throughput cliff (see _BATCH_LADDER); trimmed below
-        B = len(crops)
-        target = tiling_friendly_batch(B)
-        if target > B:
-            reps = target - B
-            crops = np.concatenate([crops, np.repeat(crops[-1:], reps, 0)])
-            k_values = np.concatenate(
-                [k_values, np.repeat(k_values[-1:], reps, 0)])
-            K_crops = np.concatenate(
-                [K_crops, np.repeat(K_crops[-1:], reps, 0)])
-        variables, x, k, Kc, _ = self._device_args(crops, k_values,
-                                                   K_crops)
-        out = self._forward(variables, x, k, Kc)
-        if x.shape[0] > B:
-            out = jax.tree.map(lambda a: a[:B], out)
+        out = self._forward_bucketed(crops, k_values, K_crops)
         kp3d = np.asarray(out["xyz_fk"])
         kp2d = np.asarray(project_points(jnp.asarray(K, jnp.float32),
                                          jnp.asarray(kp3d)))

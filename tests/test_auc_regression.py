@@ -63,11 +63,32 @@ def cfg(tmp_path_factory):
 
 @pytest.mark.slow
 def test_add_auc_crosses_threshold(cfg, tmp_path, monkeypatch):
+    """Two assertions with different jobs:
+
+    1. BATCH-STATS eval (train-mode BN, dropout 0) must cross 0.70 — the
+       memorization signal through the exact full chain (GT prep, both
+       backbones, integral, FK lift, metric grids). A sign/scale bug
+       anywhere keeps it near zero.
+    2. RUNNING-STATS eval (the real eval path) must cross 0.15 only. This
+       64x64/B=4 fixture sits in a small-n BN corner the torch reference
+       shares: torch updates running_var with the UNBIASED batch variance
+       (models/common.py BatchNorm reproduces it — verified leaf-exact by
+       test_train_dynamics_parity), so at the resnet18 last stage
+       (2x2 maps, n=16) eval-mode activations shrink by 1/sqrt(16/15) per
+       BN, compounding across the stage; measured ceiling ~0.25 here
+       (vs ~0.91 with flax's biased update — A/B via
+       HOROPOSE_BN_BIASED_RUNNING_VAR=1). Production never sees this:
+       at 256^2 the smallest reduction is n = B*8*8 (bessel <= 1.02 even
+       at B=4, ~1.0002 at B=64)."""
     monkeypatch.chdir(tmp_path)
-    from horopose_tpu.core.engine import (build_full_eval_step,
+    import jax.numpy as jnp
+    from collections import defaultdict
+    from horopose_tpu.core.engine import (_forward, build_full_eval_step,
                                           build_full_train_step,
-                                          make_optimizer)
+                                          make_optimizer, prepare_gt)
     from horopose_tpu.core.loggers import create_logger
+    from horopose_tpu.core.metrics import (compute_metrics_batch,
+                                           summary_add_pck)
     from horopose_tpu.pipelines.common import get_dataloaders, make_robot
     from horopose_tpu.pipelines.train_full import (build_fullnet,
                                                    init_fullnet_state,
@@ -83,14 +104,43 @@ def test_add_auc_crosses_threshold(cfg, tmp_path, monkeypatch):
     train_step = build_full_train_step(cfg, model, robot, tx)
     eval_step = build_full_eval_step(cfg, model, robot)
 
+    @jax.jit
+    def batch_stats_forward(state, batch, rng):
+        gts = prepare_gt(cfg, robot, batch, None)
+        preds, _, _ = _forward(cfg, model, robot, state.params,
+                               state.batch_stats, batch, gts, train=True,
+                               dropout_rng=rng)
+        return preds, gts
+
+    def batch_stats_auc(state, loader):
+        dis = defaultdict(list)
+        for batch in loader:
+            jb = jax.tree.map(jnp.asarray, batch)
+            preds, gts = batch_stats_forward(state, jb, jax.random.PRNGKey(0))
+            m = compute_metrics_batch(
+                robot=robot,
+                gt_keypoints3d=np.asarray(gts["gt_keypoints3d"]),
+                gt_keypoints2d=np.asarray(batch["keypoints_2d_original"],
+                                          np.float32),
+                K_original=np.asarray(batch["K_original"], np.float32),
+                gt_joint=np.asarray(gts["gt_pose_before_mask"]),
+                pred_keypoints3d=np.asarray(preds["xyz_fk"]),
+                pred_joint=np.asarray(preds["pose"]),
+                reference_keypoint_id=int(cfg.reference_keypoint_id))
+            dis["dis3d"].extend(m["image_dis3d_avg"])
+            dis["dis2d"].extend(m["image_dis2d_avg"])
+        return summary_add_pck(dis)["ADD/AUC"]
+
     aucs = {}
+    aucs_bs = {}
     for epoch in range(N_EPOCHS + 1):
         if epoch % EVAL_EVERY == 0 and epoch >= 300:
             aucs[epoch] = validate_full(cfg, robot, eval_step, state,
                                         loaders["test"]["dr"], writer,
                                         epoch, "dr", None)
-            if aucs[epoch] >= 0.75:   # comfortably past the bar: stop early
-                break
+            aucs_bs[epoch] = batch_stats_auc(state, loaders["test"]["dr"])
+            if aucs_bs[epoch] >= 0.75 and aucs[epoch] >= 0.20:
+                break                     # comfortably past both bars
         for batch in loaders["train"]:
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
@@ -99,9 +149,12 @@ def test_add_auc_crosses_threshold(cfg, tmp_path, monkeypatch):
         aucs[N_EPOCHS] = validate_full(cfg, robot, eval_step, state,
                                        loaders["test"]["dr"], writer,
                                        N_EPOCHS, "dr", None)
+        aucs_bs[N_EPOCHS] = batch_stats_auc(state, loaders["test"]["dr"])
     writer.close()
 
-    best = max(aucs.values())
-    # measured ~0.91 peak; 0.70 leaves margin for platform jitter while
-    # staying far above anything a broken trans/rot/FK path can reach
-    assert best >= 0.70, aucs
+    # measured ~0.91 batch-stats peak; 0.70 leaves margin for platform
+    # jitter while staying far above anything a broken path can reach
+    assert max(aucs_bs.values()) >= 0.70, (aucs_bs, aucs)
+    # real eval path: bounded by the torch-shared small-n BN eval
+    # pathology on this fixture (see docstring); measured peak ~0.25
+    assert max(aucs.values()) >= 0.15, (aucs, aucs_bs)

@@ -70,6 +70,28 @@ def test_predictor_from_experiment(experiment, rng):
     assert np.isfinite(out3["keypoints_3d"]).all()
 
 
+def test_predictor_chunked_batching_matches_direct(experiment, rng,
+                                                   monkeypatch):
+    """Batches above _MAX_CHUNK are split into chunk launches; outputs must
+    equal the per-sample direct results (eval mode has no batch coupling)."""
+    import horopose_tpu.predictor as P
+    monkeypatch.setattr(P, "_MAX_CHUNK", 4)
+    pred = P.Predictor.from_experiment(str(experiment))
+    B, H, W = 6, 480, 640
+    images = rng.randint(0, 255, (B, H, W, 3), dtype=np.uint8)
+    K = np.tile(np.asarray([[320.0, 0, 320], [0, 320.0, 240], [0, 0, 1]],
+                           np.float32)[None], (B, 1, 1))
+    bboxes = np.tile(np.asarray([150, 100, 450, 380], np.float32)[None],
+                     (B, 1))
+    out = pred(images, K, bboxes)          # chunks: 4 + 2
+    assert out["joints"].shape == (B, 8)
+    direct = pred(images[4:], K[4:], bboxes[4:])   # the tail pair, direct
+    np.testing.assert_allclose(out["joints"][4:], direct["joints"],
+                               rtol=3e-3, atol=2e-4)
+    np.testing.assert_allclose(out["keypoints_3d"][4:],
+                               direct["keypoints_3d"], rtol=3e-3, atol=2e-4)
+
+
 def test_tiling_friendly_batch():
     from horopose_tpu.predictor import tiling_friendly_batch as t
     assert t(1) == 1 and t(3) == 4 and t(64) == 64 and t(65) == 96
