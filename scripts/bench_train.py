@@ -118,6 +118,90 @@ def run_pipeline_mode(args, cfg, robot, model):
     loaders["train"].close()
 
 
+def run_prestaged_mode(args, cfg, robot, model):
+    """Time the training LOOP SHAPE minus the loader: the real per-step
+    sequence of pipelines/train_full.py (jitted donated step dispatched
+    per batch + DeviceLogAccumulator push, one windowed flush) — i.e. what
+    the loop adds over the chained-scan device ceiling: per-dispatch
+    overhead and any accidental per-step syncs.
+
+    Two numbers are reported:
+    - `resident`: the loop over a device-resident batch. This is the
+      loop-shape number — it isolates dispatch + accumulator cost.
+    - `staged`: same loop with a fresh host batch transferred per step
+      (`jnp.asarray` per leaf). On a LOCAL PJRT host this adds the
+      overlappable ~ms HBM copy; over this container's remote-TPU tunnel
+      it instead measures the tunnel's per-RPC latency for interleaved
+      transfer+execute (measured 3-5x the resident rate, high variance) —
+      an environment artifact of the same class as the 1-vCPU loader
+      limit, NOT a property of the loop (isolated batch transfer is
+      ~20 ms at ~1.2 GB/s; see PERF_NOTES round 4).
+
+    The --pipeline mode (real DataLoader) additionally includes decode +
+    augs, which on this 1-vCPU container is the binding constraint
+    (~50 img/s); loader scaling is measured separately (bench_loader.py).
+    """
+    from horopose_tpu.core.engine import (build_full_train_step,
+                                          create_train_state, make_optimizer)
+    from horopose_tpu.core.loggers import DeviceLogAccumulator
+
+    size = int(cfg.image_size)
+    rng = jax.random.PRNGKey(0)
+    variables = jax.jit(lambda r, x, k, K: model.init(
+        {"params": r, "dropout": r}, x, x, k, K, train=False))(
+        rng, jnp.zeros((1, size, size, 3)), jnp.ones((1,)), jnp.eye(3)[None])
+    tx = make_optimizer(cfg, 1000)
+    state = create_train_state(variables, tx)
+    step = build_full_train_step(cfg, model, robot, tx)
+
+    n_batches = max(args.iters, 2)
+    batches = []
+    for i in range(n_batches):
+        b = make_fake_batch(args.batch_size, size, robot.num_keypoints,
+                            robot.dof)
+        # distinct pixel payloads so transfers cannot be deduplicated
+        b["root"]["images"] = np.roll(b["root"]["images"], i, axis=0)
+        b["other"]["images"] = np.roll(b["other"]["images"], i, axis=0)
+        batches.append(b)
+    resident_batch = jax.tree.map(jnp.asarray, batches[0])
+    jax.block_until_ready(resident_batch)
+
+    def one_epoch(state, rng, staged):
+        acc = DeviceLogAccumulator(flush_every=100)
+        t0 = time.perf_counter()
+        for batch in batches:
+            db = (jax.tree.map(jnp.asarray, batch) if staged
+                  else resident_batch)
+            rng, sub = jax.random.split(rng)
+            state, logs = step(state, db, sub)
+            acc.push(logs)
+        acc.flush()
+        jax.block_until_ready(state.params)
+        return state, rng, time.perf_counter() - t0, acc.mean("loss")
+
+    state, rng, dt, _ = one_epoch(state, rng, staged=True)   # compile
+    print(f"# prestaged warmup: {n_batches} steps in {dt:.1f}s",
+          file=sys.stderr)
+    out = {}
+    for mode in ("resident", "staged"):
+        dts = []
+        for _ in range(2):
+            state, rng, dt, loss = one_epoch(state, rng,
+                                             staged=(mode == "staged"))
+            dts.append(dt)
+        dt = sum(dts) / len(dts)
+        out[mode] = round(n_batches * args.batch_size / dt, 1)
+        out[f"{mode}_ms_per_step"] = round(1000 * dt / n_batches, 1)
+    print(json.dumps({"metric": "train_loop_shape_throughput",
+                      "value": out["resident"],
+                      "unit": "images/sec/chip",
+                      "staged": out["staged"],
+                      "resident_ms_per_step": out["resident_ms_per_step"],
+                      "staged_ms_per_step": out["staged_ms_per_step"],
+                      "batch_size": args.batch_size,
+                      "loss": round(float(loss), 2)}))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch_size", type=int, default=64)
@@ -127,6 +211,9 @@ def main():
     p.add_argument("--pipeline", action="store_true",
                    help="time the real pipeline loop (loader -> step -> "
                         "meters) instead of the on-device chained scan")
+    p.add_argument("--prestaged", action="store_true",
+                   help="time the real loop shape over pre-collated host "
+                        "batches (loader excluded; see run_prestaged_mode)")
     args = p.parse_args()
 
     from horopose_tpu.config import make_default_cfg
@@ -148,6 +235,9 @@ def main():
     model = build_fullnet(cfg)
     if args.pipeline:
         run_pipeline_mode(args, cfg, robot, model)
+        return
+    if args.prestaged:
+        run_prestaged_mode(args, cfg, robot, model)
         return
     size = int(cfg.image_size)
     rng = jax.random.PRNGKey(0)
