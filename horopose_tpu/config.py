@@ -194,8 +194,10 @@ def make_default_cfg() -> AttrDict:
     #                                epoch 1 fills, later epochs skip decode
     cfg.decode_cache_dir = ""      # cache root; "" = HOROPOSE_CACHE_DIR env
     #                                or <dataset_dir>/.decode_cache
-    cfg.raster_faces_per_tile = 0  # >0: tile-culled sim2real rasterizer
-    #                                (for fine OBJ meshes; 0 = dense)
+    cfg.raster_faces_per_tile = "auto"  # sim2real rasterizer tile budget:
+    #                                "auto" = measured-best per mesh size
+    #                                (ops/rasterizer.resolve_faces_per_tile),
+    #                                int > 0 = explicit, 0 = dense renderer
     return cfg
 
 

@@ -27,6 +27,22 @@ import jax
 import jax.numpy as jnp
 
 
+def resolve_faces_per_tile(value, n_faces) -> int:
+    """Resolve the `raster_faces_per_tile` config knob to a tile budget.
+
+    "auto"/None picks the measured-best budget for the mesh: 256 for
+    coarse meshes (548-face panda primitives: overflow 0.0 and a 1.88x
+    faster sim2real step than dense — scripts/bench_sim2real.py, round 4)
+    and 384 for finely-tessellated meshes (7.9k-face OBJ sweep: 15.8x
+    over dense at sub-percent overflow — PERF_NOTES round 2). An explicit
+    integer wins; 0 forces the dense renderer. Budgets >= the face count
+    are never useful (slower than dense: same pairs plus gather overhead).
+    """
+    if value in (None, "auto"):
+        return 256 if int(n_faces) <= 2048 else 384
+    return int(value)
+
+
 def _edge_distance_sq(p, a, b):
     """Squared distance from points p (..., 2) to segment ab."""
     ab = b - a
@@ -153,10 +169,15 @@ def rasterize_silhouette_tiled(verts: jnp.ndarray, faces, K: jnp.ndarray,
     `faces_per_tile` generously vs the mesh (tests compare against the
     dense renderer). Work drops from P*F to P*faces_per_tile pairs.
 
-    Use for finely-tessellated meshes (real OBJ link meshes, 10k+ small
-    faces): the win is ~F/faces_per_tile. For coarse primitive meshes the
-    per-tile face counts approach F and overflow truncates real
-    contributors — keep the dense renderer there. With
+    For finely-tessellated meshes (real OBJ link meshes, 10k+ small faces)
+    the win is ~F/faces_per_tile (15.8x measured at 7.9k faces). Round-4
+    measurement overturned the round-2 assumption that coarse primitive
+    meshes should stay dense: at the production sim2real config (548-face
+    panda primitives, b16, 240x320) per-tile face counts never exceed 128
+    (overflow 0.0) and faces_per_tile=256 runs the full training step
+    1.88x faster than dense (scripts/bench_sim2real.py) — budgets at or
+    above the face count are slower than dense (per-tile gather overhead),
+    so pick ~half the face count or use resolve_faces_per_tile. With
     return_overflow=True also returns the fraction of tiles whose
     overlapping-face count exceeded faces_per_tile (0.0 == exact);
     pipelines log it so a too-small budget is visible, not silent.

@@ -89,3 +89,28 @@ def test_profiling_helpers():
         with timer.measure():
             pass
     assert timer.mean >= 0
+
+
+def test_device_log_accumulator():
+    """The round-4 sync-free meter bank: logs queue as device scalars and
+    only one device_get runs per flush window (loggers.py:73-107); means
+    must match a plain running average, and the window must auto-flush."""
+    import jax.numpy as jnp
+
+    from horopose_tpu.core.loggers import DeviceLogAccumulator
+
+    acc = DeviceLogAccumulator(flush_every=4)
+    vals = [1.0, 2.0, 3.5, 5.5, 8.0]
+    for i, v in enumerate(vals):
+        acc.push({"loss": jnp.float32(v), "aux": jnp.float32(2 * v)})
+        if i < 3:
+            # below the window: nothing fetched yet, no meters materialized
+            assert len(acc._pending) == i + 1 and not acc.meters
+    # 4th push crossed flush_every -> auto-flush; 5th is pending again
+    assert len(acc._pending) == 1
+    np.testing.assert_allclose(acc.mean("loss"), np.mean(vals[:4]))
+    acc.flush()
+    assert not acc._pending
+    np.testing.assert_allclose(acc.mean("loss"), np.mean(vals))
+    np.testing.assert_allclose(acc.mean("aux"), 2 * np.mean(vals))
+    assert acc.mean("absent") == 0.0

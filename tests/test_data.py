@@ -226,3 +226,28 @@ def test_independent_crop_sizes(tmp_path):
                       jnp.ones((2,)), jnp.asarray(batch["other"]["K"],
                                                   jnp.float32), train=False)
     assert out["uvd"].shape == (2, 7, 3)
+
+    # the PIPELINE init path must size its dummies the same way (advisor
+    # round-3 medium: a square cfg.image_size dummy crashes model.init
+    # whenever other_image_size != image_size)
+    from horopose_tpu.core.engine import make_optimizer
+    from horopose_tpu.pipelines.train_full import init_fullnet_state
+    state, _ = init_fullnet_state(cfg, model, make_optimizer(cfg, 10))
+    assert int(state.step) == 0
+
+
+def test_non_square_crop_sizes_rejected():
+    """FullNet's heatmap geometry is square (image_size//4 in both axes);
+    a rectangular rootnet/other_image_size must raise, not silently decode
+    with the wrong width geometry."""
+    import pytest
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.pipelines.common import crop_sizes
+    cfg = make_default_cfg()
+    cfg.other_image_size = (64, 96)
+    with pytest.raises(ValueError, match="non-square"):
+        crop_sizes(cfg)
+    cfg = make_default_cfg()
+    cfg.rootnet_image_size = [128, 64]
+    with pytest.raises(ValueError, match="non-square"):
+        crop_sizes(cfg)

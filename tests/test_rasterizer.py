@@ -181,3 +181,14 @@ def test_tiled_rasterizer_matches_dense():
                                               faces_per_tile=16,
                                               return_overflow=True)
     assert float(ovf_small) > 0.0
+
+
+def test_resolve_faces_per_tile():
+    """"auto" picks the measured-best tile budget per mesh size; explicit
+    ints (including 0 = dense) always win (config default is "auto")."""
+    from horopose_tpu.ops.rasterizer import resolve_faces_per_tile as r
+    assert r("auto", 548) == 256        # panda primitives
+    assert r(None, 548) == 256
+    assert r("auto", 13248) == 384      # fine OBJ meshes
+    assert r(0, 548) == 0               # explicit dense
+    assert r(192, 13248) == 192         # explicit budget
