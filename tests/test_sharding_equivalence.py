@@ -103,6 +103,44 @@ def test_mesh_sharded_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_mesh_sharded_eval_step_matches_single_device():
+    """The eval step (pipelines/test.py mesh-sharded eval path): per-sample
+    predictions and the loss scalars must match 1-device vs 8-device."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    from horopose_tpu.core.engine import build_full_eval_step
+    from horopose_tpu.models import FullNet
+
+    cfg, robot, state, _, size = _setup()
+    model = FullNet(robot_type="panda", dof=8, num_keypoints=7,
+                    image_size=size, depth_dim=8,
+                    backbone_name="resnet18",
+                    rootnet_backbone_name="resnet18",
+                    init_pose=tuple(C.initial_joint_vector(
+                        "mean", "panda").tolist()))
+    evaluate = build_full_eval_step(cfg, model, robot)
+    batch_np = _fake_batch(8, size, robot.num_keypoints, robot.dof)
+
+    mesh = make_mesh(8)
+    state8 = state.replace(step=replicate(state.step, mesh),
+                           params=replicate(state.params, mesh),
+                           batch_stats=replicate(state.batch_stats, mesh),
+                           opt_state=replicate(state.opt_state, mesh))
+    batch8 = shard_batch(batch_np, mesh)
+
+    batch1 = jax.tree.map(jnp.asarray, batch_np)
+    preds1, gts1, logs1 = evaluate(state, batch1)
+    preds8, gts8, logs8 = evaluate(state8, batch8)
+
+    np.testing.assert_allclose(float(logs1["loss"]), float(logs8["loss"]),
+                               rtol=1e-4)
+    for key in ("xyz_fk", "xyz_int", "pose", "trans"):
+        np.testing.assert_allclose(np.asarray(preds1[key]),
+                                   np.asarray(preds8[key]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gts1["gt_keypoints3d"]),
+                               np.asarray(gts8["gt_keypoints3d"]),
+                               atol=2e-5)
+
+
 def test_mesh_sharded_sim2real_step_matches_single_device():
     """Stage-3 step (rasterizer + frozen seg teacher) under the mesh."""
     assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
