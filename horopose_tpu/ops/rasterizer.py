@@ -39,7 +39,10 @@ def resolve_faces_per_tile(value, n_faces) -> int:
     are never useful (slower than dense: same pairs plus gather overhead).
     """
     if value in (None, "auto"):
-        return 256 if int(n_faces) <= 2048 else 384
+        budget = 256 if int(n_faces) <= 2048 else 384
+        # a budget >= the face count degenerates to dense-plus-gather
+        # (measured slower than dense); use the exact dense path instead
+        return 0 if budget >= int(n_faces) else budget
     return int(value)
 
 

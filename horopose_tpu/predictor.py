@@ -72,15 +72,22 @@ class Predictor:
                                  else "float32")
         self.model = build_fullnet(cfg)
         self.variables = variables
-        self.size = int(cfg.image_size)
+        from horopose_tpu.pipelines.common import crop_sizes
+        rootnet_hw, other_hw = crop_sizes(cfg)
+        # the two crops share the bbox and differ only in resolution
+        # (data/dream.py _make_crop call sites; ref dream.py:281-388), so
+        # serving mirrors that: one bbox, two resize targets
+        self.size = other_hw[0]
+        self.root_size = rootnet_hw[0]
         self.ref = int(cfg.reference_keypoint_id)
 
         model, robot, ref = self.model, self.robot, self.ref
 
         @jax.jit
-        def _forward(variables, x, k_values, K_crop):
+        def _forward(variables, x, x_root, k_values, K_crop):
             xf = x.astype(jnp.float32) / 255.0
-            out = model.apply(variables, xf, xf, k_values, K_crop,
+            xrf = x_root.astype(jnp.float32) / 255.0
+            out = model.apply(variables, xf, xrf, k_values, K_crop,
                               train=False)
             out["xyz_fk"] = robot.get_keypoints_root(
                 out["pose"], out["rot"], out["trans"], root=ref)
@@ -96,10 +103,10 @@ class Predictor:
         cfg = make_cfg(os.path.join(exp_path, "config.yaml"))
         predictor = cls(cfg, None, dtype=dtype, mesh=mesh)
         rng = jax.random.PRNGKey(0)
-        s = predictor.size
+        s, rs = predictor.size, predictor.root_size
         variables = predictor.model.init(
             {"params": rng, "dropout": rng}, jnp.zeros((1, s, s, 3)),
-            jnp.zeros((1, s, s, 3)), jnp.ones((1,)), jnp.eye(3)[None],
+            jnp.zeros((1, rs, rs, 3)), jnp.ones((1,)), jnp.eye(3)[None],
             train=False)
         ckpt_path = os.path.join(exp_path, "ckpt", ckpt_name)
         if os.path.exists(ckpt_path):
@@ -122,6 +129,9 @@ class Predictor:
             bboxes = np.tile(np.asarray([0, 0, W, H], np.float32)[None],
                              (B, 1))
         crops = np.empty((B, self.size, self.size, 3), np.uint8)
+        same_root = self.root_size == self.size
+        crops_root = crops if same_root else np.empty(
+            (B, self.root_size, self.root_size, 3), np.uint8)
         K_crops = np.empty((B, 3, 3), np.float32)
         from horopose_tpu import native
         from PIL import Image
@@ -136,10 +146,17 @@ class Predictor:
                                                   K[i].astype(np.float64))
                 crop = np.asarray(Image.fromarray(square).resize(
                     (self.size, self.size), Image.BILINEAR))
+                if not same_root:
+                    crops_root[i] = np.asarray(Image.fromarray(
+                        square).resize((self.root_size, self.root_size),
+                                       Image.BILINEAR))
             else:
                 K_sq = K[i].astype(np.float64).copy()
                 K_sq[0, 2] -= (wmin - int((sq - (wmax - wmin)) // 2))
                 K_sq[1, 2] -= (hmin - int((sq - (hmax - hmin)) // 2))
+                if not same_root:
+                    crops_root[i] = native.crop_resize_bilinear(
+                        images[i], bbox, self.root_size)
             crops[i] = crop
             K_crops[i] = RU.get_K_crop_resize_np(
                 K_sq, (0.0, 0.0, float(sq), float(sq)), (sq, sq),
@@ -149,15 +166,16 @@ class Predictor:
         k_values = np.asarray(k_value_from_bbox(
             jnp.asarray(bboxes, jnp.float32), jnp.asarray(fx),
             jnp.asarray(fy)))
-        return crops, K_crops, k_values
+        return crops, crops_root, K_crops, k_values
 
-    def _device_args(self, crops, k_values, K_crops):
+    def _device_args(self, crops, crops_root, k_values, K_crops):
         """Move inputs to device; under a mesh, replicate the params once
         and shard the batch (padding to device-count divisibility — the
         pad rows are trimmed from every output in __call__)."""
         if self.mesh is None:
             return (self.variables, jnp.asarray(crops),
-                    jnp.asarray(k_values), jnp.asarray(K_crops), 0)
+                    jnp.asarray(crops_root), jnp.asarray(k_values),
+                    jnp.asarray(K_crops), 0)
         from horopose_tpu.parallel import replicate, shard_batch
         if not getattr(self, "_replicated", False):
             self.variables = replicate(self.variables, self.mesh)
@@ -166,16 +184,18 @@ class Predictor:
         pad = (-len(crops)) % n
         if pad:
             crops = np.concatenate([crops, np.repeat(crops[-1:], pad, 0)])
+            crops_root = np.concatenate(
+                [crops_root, np.repeat(crops_root[-1:], pad, 0)])
             k_values = np.concatenate(
                 [k_values, np.repeat(k_values[-1:], pad, 0)])
             K_crops = np.concatenate(
                 [K_crops, np.repeat(K_crops[-1:], pad, 0)])
         sharded = shard_batch(
-            dict(x=crops, k=k_values, K=K_crops), self.mesh)
-        return (self.variables, sharded["x"], sharded["k"], sharded["K"],
-                pad)
+            dict(x=crops, xr=crops_root, k=k_values, K=K_crops), self.mesh)
+        return (self.variables, sharded["x"], sharded["xr"], sharded["k"],
+                sharded["K"], pad)
 
-    def _forward_bucketed(self, crops, k_values, K_crops):
+    def _forward_bucketed(self, crops, crops_root, k_values, K_crops):
         """Forward with cliff-proof batching: pad up the ladder below
         _MAX_CHUNK; above it, launch chunks of _MAX_CHUNK (every batch
         >128 runs the hrnet branch ~35% slower than 128-chunked launches —
@@ -187,6 +207,7 @@ class Predictor:
         outs = []
         for lo in range(0, B, chunk):
             c = crops[lo:lo + chunk]
+            cr = crops_root[lo:lo + chunk]
             kv = k_values[lo:lo + chunk]
             Kc = K_crops[lo:lo + chunk]
             n = len(c)
@@ -194,10 +215,11 @@ class Predictor:
             if target > n:
                 reps = target - n
                 c = np.concatenate([c, np.repeat(c[-1:], reps, 0)])
+                cr = np.concatenate([cr, np.repeat(cr[-1:], reps, 0)])
                 kv = np.concatenate([kv, np.repeat(kv[-1:], reps, 0)])
                 Kc = np.concatenate([Kc, np.repeat(Kc[-1:], reps, 0)])
-            variables, xd, kd, Kd, _ = self._device_args(c, kv, Kc)
-            out = self._forward(variables, xd, kd, Kd)
+            variables, xd, xrd, kd, Kd, _ = self._device_args(c, cr, kv, Kc)
+            out = self._forward(variables, xd, xrd, kd, Kd)
             if xd.shape[0] > n:
                 out = jax.tree.map(lambda a: a[:n], out)
             outs.append(out)
@@ -209,8 +231,9 @@ class Predictor:
                  bboxes: Optional[np.ndarray] = None) -> Dict:
         """images (B, H, W, 3) uint8 full frames; K (B, 3, 3); bboxes
         (B, 4) xyxy robot boxes (full frame when omitted)."""
-        crops, K_crops, k_values = self.preprocess(images, K, bboxes)
-        out = self._forward_bucketed(crops, k_values, K_crops)
+        crops, crops_root, K_crops, k_values = self.preprocess(
+            images, K, bboxes)
+        out = self._forward_bucketed(crops, crops_root, k_values, K_crops)
         kp3d = np.asarray(out["xyz_fk"])
         kp2d = np.asarray(project_points(jnp.asarray(K, jnp.float32),
                                          jnp.asarray(kp3d)))

@@ -92,6 +92,43 @@ def test_predictor_chunked_batching_matches_direct(experiment, rng,
                                direct["keypoints_3d"], rtol=3e-3, atol=2e-4)
 
 
+def test_predictor_honors_rootnet_image_size(experiment, rng, tmp_path):
+    """The rootnet-crop serving lever (rootnet_image_size <
+    other/image_size) must flow through Predictor: a smaller root crop is
+    produced from the same bbox and fed to the rootnet branch."""
+    import shutil
+    import yaml as _yaml
+    from horopose_tpu.predictor import Predictor
+
+    exp2 = tmp_path / "pred_lever"
+    shutil.copytree(str(experiment), exp2)
+    cfg_file = exp2 / "config.yaml"
+    cfg = _yaml.safe_load(cfg_file.read_text())
+    cfg["rootnet_image_size"] = 32.0
+    cfg_file.write_text(_yaml.safe_dump(cfg))
+
+    pred = Predictor.from_experiment(str(exp2))
+    assert pred.size == 64 and pred.root_size == 32
+    B, H, W = 2, 480, 640
+    images = rng.randint(0, 255, (B, H, W, 3), dtype=np.uint8)
+    K = np.tile(np.asarray([[320.0, 0, 320], [0, 320.0, 240], [0, 0, 1]],
+                           np.float32)[None], (B, 1, 1))
+    bboxes = np.tile(np.asarray([150, 100, 450, 380], np.float32)[None],
+                     (B, 1))
+    crops, crops_root, _, _ = pred.preprocess(images, K, bboxes)
+    assert crops.shape == (B, 64, 64, 3)
+    assert crops_root.shape == (B, 32, 32, 3)
+    # same bbox, different resolution: the root crop is a downscale of the
+    # same square region (coarse check: means track closely)
+    assert abs(crops.mean() - crops_root.mean()) < 3.0
+    out = pred(images, K, bboxes)
+    assert out["joints"].shape == (B, 8)
+    assert np.isfinite(out["keypoints_3d"]).all()
+    eye = np.einsum("bij,bkj->bik", out["rotation"], out["rotation"])
+    np.testing.assert_allclose(eye, np.broadcast_to(np.eye(3), eye.shape),
+                               atol=1e-4)
+
+
 def test_tiling_friendly_batch():
     from horopose_tpu.predictor import tiling_friendly_batch as t
     assert t(1) == 1 and t(3) == 4 and t(64) == 64 and t(65) == 96

@@ -192,3 +192,8 @@ def test_resolve_faces_per_tile():
     assert r("auto", 13248) == 384      # fine OBJ meshes
     assert r(0, 548) == 0               # explicit dense
     assert r(192, 13248) == 192         # explicit budget
+    # auto on tiny meshes (budget >= F) degenerates to dense-plus-gather,
+    # measured slower than dense -> auto falls back to the exact dense path
+    assert r("auto", 100) == 0
+    assert r("auto", 256) == 0
+    assert r("auto", 257) == 256
