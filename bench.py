@@ -62,18 +62,29 @@ def make_args(batch_size: int):
     return x, x, k, K
 
 
-def measure(model, robot, variables, batch_size: int, iters: int = 10):
+def measure(model, robot, variables, batch_size: int, iters: int = 10,
+            root_size: int = None):
     """Honest throughput: `iters` full forwards chained ON DEVICE inside one
     jit (each iteration's input depends on the previous output, preventing
     reordering/elision) and synchronized with a host transfer of the scalar
     result. Plain block_until_ready does not reliably synchronize over
-    remote-attached TPU backends, so dispatch-loop timing overestimates."""
+    remote-attached TPU backends, so dispatch-loop timing overestimates.
+
+    root_size shrinks only the ROOTNET crop (the reference's
+    rootnet_image_size knob) while the regression crop stays 256."""
     x, _, k, K = make_args(batch_size)
+    xr = None if root_size is None else jnp.zeros(
+        (batch_size, root_size, root_size, 3), jnp.float32)
 
     @jax.jit
     def chained(v, x0, k, K):
         def body(c, _):
-            out = model.apply(v, c, c, k, K, train=False)
+            if xr is None:
+                xr_i = c
+            else:
+                # tie to the carry or XLA hoists the rootnet branch
+                xr_i = xr + c.mean().astype(xr.dtype) * 1e-9
+            out = model.apply(v, c, xr_i, k, K, train=False)
             fk = robot.get_keypoints_root(out["pose"], out["rot"],
                                           out["trans"], root=3)
             return c + fk.mean().astype(c.dtype) * 1e-9, ()
@@ -121,6 +132,17 @@ def main():
         print(f"# batch={bs}: {ips:.1f} img/s", file=sys.stderr)
         if ips > best:
             best, best_bs = ips, bs
+    # serving lever: rootnet crop 128 (the reference's rootnet_image_size
+    # knob; the GAP'd depth branch accepts any input size) — extra field,
+    # same model/weights as the headline
+    lever = 0.0
+    try:
+        lever = measure(model, robot, variables, best_bs or 128,
+                        iters=args.iters, root_size=128)
+        print(f"# rootnet-crop-128 lever batch={best_bs or 128}: "
+              f"{lever:.1f} img/s", file=sys.stderr)
+    except Exception as e:
+        print(f"# rootnet-crop lever bench failed: {e}", file=sys.stderr)
     # the resnet50-rootnet fast path (the reference's own config space;
     # PERF_NOTES.md "the fast path is a config, not a kernel") — reported
     # as an extra field, the headline stays the paper-flagship hrnet32
@@ -142,6 +164,7 @@ def main():
         "batch_size": best_bs,
         "dtype": "bfloat16",
         "fast_path_resnet50_rootnet": round(fast, 1),
+        "rootnet_crop128_lever": round(lever, 1),
     }))
 
 
