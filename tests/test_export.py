@@ -1,0 +1,102 @@
+"""Serving-artifact export (tools/export.py): serialize -> deserialize ->
+numerically identical outputs, metadata contract, and the independent
+rootnet-crop geometry flowing through the artifact."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from horopose_tpu.config import make_default_cfg
+
+
+@pytest.fixture(scope="module")
+def small_cfg_vars():
+    cfg = make_default_cfg()
+    cfg.image_size = 64.0
+    cfg.rootnet_image_size = 32.0
+    cfg.backbone_name = "resnet18"
+    cfg.rootnet_backbone_name = "resnet18"
+    cfg.urdf_robot_name = "panda"
+    from horopose_tpu.pipelines.common import build_fullnet
+    model = build_fullnet(cfg)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng},
+                           jnp.zeros((1, 64, 64, 3)),
+                           jnp.zeros((1, 32, 32, 3)), jnp.ones((1,)),
+                           jnp.eye(3)[None], train=False)
+    return cfg, variables
+
+
+def _inputs(B, seed=7):
+    r = np.random.RandomState(seed)
+    x = r.randint(0, 255, (B, 64, 64, 3), dtype=np.uint8)
+    xr = r.randint(0, 255, (B, 32, 32, 3), dtype=np.uint8)
+    k = np.full((B,), 1200.0, np.float32)
+    K = np.tile(np.asarray([[80.0, 0, 32], [0, 80.0, 32], [0, 0, 1]],
+                           np.float32)[None], (B, 1, 1))
+    return x, xr, k, K
+
+
+def test_export_roundtrip_matches_direct(small_cfg_vars, tmp_path):
+    from horopose_tpu.tools.export import (build_serving_fn,
+                                           export_serving_fn,
+                                           load_serving_fn)
+    cfg, variables = small_cfg_vars
+    B = 2
+    blob = export_serving_fn(cfg, variables, batch_size=B,
+                             platforms=("cpu",))
+    path = tmp_path / "model.hlo"
+    path.write_bytes(blob)
+
+    fn, meta = load_serving_fn(str(path))
+    assert meta["batch_size"] == B
+    assert meta["other_hw"] == [64, 64]
+    assert meta["rootnet_hw"] == [32, 32]
+    assert meta["robot"] == "panda"
+    assert meta["dof"] == 8 and meta["num_keypoints"] == 7
+
+    x, xr, k, K = _inputs(B)
+    out = fn(x, xr, k, K)
+    direct_fn, _ = build_serving_fn(cfg, variables)
+    ref = direct_fn(jnp.asarray(x), jnp.asarray(xr), jnp.asarray(k),
+                    jnp.asarray(K))
+    assert set(out) == set(ref)
+    assert out["pose"].shape == (B, 8)
+    assert out["xyz_fk"].shape == (B, 7, 3)
+    for key in ref:
+        np.testing.assert_allclose(np.asarray(out[key]),
+                                   np.asarray(ref[key]), rtol=1e-5,
+                                   atol=1e-6, err_msg=key)
+
+
+def test_export_artifact_is_self_contained(small_cfg_vars, tmp_path):
+    """Deserialization must not need the model/config — only the artifact
+    bytes (the weights are baked in as constants)."""
+    from horopose_tpu.tools.export import export_serving_fn
+    cfg, variables = small_cfg_vars
+    blob = export_serving_fn(cfg, variables, batch_size=1,
+                             platforms=("cpu",))
+    path = tmp_path / "solo.hlo"
+    path.write_bytes(blob)
+
+    # load through jax.export only (simulating a serving process without
+    # horopose_tpu model code) via the tiny header parser
+    from horopose_tpu.tools.export import _read_meta
+    from jax import export as jexport
+    meta_json, payload = _read_meta(path.read_bytes())
+    exported = jexport.deserialize(payload)
+    x, xr, k, K = _inputs(1)
+    out = exported.call(x, xr, k, K)
+    assert np.isfinite(np.asarray(out["xyz_fk"])).all()
+    assert json.loads(meta_json)["platforms"] == ["cpu"]
+
+
+def test_export_rejects_foreign_blob(tmp_path):
+    from horopose_tpu.tools.export import load_serving_fn
+    path = tmp_path / "junk.hlo"
+    path.write_bytes(b"not an artifact")
+    with pytest.raises(ValueError, match="not a horopose_tpu export"):
+        load_serving_fn(str(path))
