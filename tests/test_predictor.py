@@ -129,6 +129,39 @@ def test_predictor_honors_rootnet_image_size(experiment, rng, tmp_path):
                                atol=1e-4)
 
 
+@pytest.mark.parametrize("robot_type,dof,nkpt",
+                         [("kuka", 7, 8), ("baxter", 15, 17)])
+def test_predictor_cross_robot(robot_type, dof, nkpt, rng):
+    """Predictor is robot-agnostic: kuka/baxter dims (full_net.py:43-53)
+    flow from the constants through model build, forward, and FK lift."""
+    import jax
+    import jax.numpy as jnp
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.predictor import Predictor
+
+    cfg = make_default_cfg()
+    cfg.image_size = 64.0
+    cfg.backbone_name = "resnet18"
+    cfg.rootnet_backbone_name = "resnet18"
+    cfg.urdf_robot_name = robot_type
+    cfg.reference_keypoint_id = 2
+    pred = Predictor(cfg, None)
+    key = jax.random.PRNGKey(0)
+    pred.variables = pred.model.init(
+        {"params": key, "dropout": key}, jnp.zeros((1, 64, 64, 3)),
+        jnp.zeros((1, 64, 64, 3)), jnp.ones((1,)), jnp.eye(3)[None],
+        train=False)
+    B = 2
+    images = rng.randint(0, 255, (B, 480, 640, 3), dtype=np.uint8)
+    K = np.tile(np.asarray([[320.0, 0, 320], [0, 320.0, 240], [0, 0, 1]],
+                           np.float32)[None], (B, 1, 1))
+    out = pred(images, K)
+    assert out["joints"].shape == (B, dof)
+    assert out["keypoints_3d"].shape == (B, nkpt, 3)
+    assert out["keypoints_2d"].shape == (B, nkpt, 2)
+    assert np.isfinite(out["keypoints_3d"]).all()
+
+
 def test_tiling_friendly_batch():
     from horopose_tpu.predictor import tiling_friendly_batch as t
     assert t(1) == 1 and t(3) == 4 and t(64) == 64 and t(65) == 96
