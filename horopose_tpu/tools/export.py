@@ -1,12 +1,18 @@
 #!/usr/bin/env python
 """CLI: export a trained experiment as a portable serving artifact.
 
-`jax.export` serializes the COMPILED inference function (StableHLO +
-weights baked in as constants) so a serving process can run it without
-horopose_tpu, Flax, the config system, or the checkpoint format — just
-jax and the artifact file. The exported function is the Predictor's
-forward: uint8 crops in, the full output head set out (joints, rot6d,
-translation, root depth, FK and integral 3D keypoints).
+`jax.export` serializes the COMPILED inference function (StableHLO) and
+the weight tree into one file, so a serving process can run it without
+horopose_tpu, the config system, or the checkpoint format — just jax +
+flax (for the msgpack weight section). The exported function is the
+Predictor's forward: uint8 crops in, the full output head set out
+(joints, rot6d, translation, root depth, FK and integral 3D keypoints).
+
+Weights are passed as call-time ARGUMENTS, not baked into the program as
+constants: baked constants bloat the HLO by the full parameter size
+(~318 MB for the flagship), which slows compiles everywhere and
+overflows request-size caps on remote-compile setups; as arguments they
+ride the normal (fast) host->device transfer path once.
 
 The reference has no deployment surface beyond its eval script
 (scripts/test.py); this closes that gap TPU-natively.
@@ -30,12 +36,14 @@ import os
 import struct
 import sys
 
-_MAGIC = b"HRPX1\n"
+_MAGIC = b"HRPX2\n"
 
 
-def build_serving_fn(cfg, variables, dtype=None):
-    """The deployment forward (weights closed over): uint8 crops ->
-    normalized -> FullNet -> FK lift. Mirrors Predictor._forward."""
+def build_serving_fn(cfg, variables=None, dtype=None):
+    """The deployment forward: uint8 crops -> normalized -> FullNet ->
+    FK lift, as `serve(variables, x, x_root, k_values, K_crop)`. Mirrors
+    Predictor._forward. When `variables` is given, returns a jitted
+    closure over them instead (convenience for direct use)."""
     import jax
     import jax.numpy as jnp
 
@@ -48,7 +56,7 @@ def build_serving_fn(cfg, variables, dtype=None):
     robot = make_robot(cfg)
     ref = int(cfg.reference_keypoint_id)
 
-    def serve(x, x_root, k_values, K_crop):
+    def serve(variables, x, x_root, k_values, K_crop):
         xf = x.astype(jnp.float32) / 255.0
         xrf = x_root.astype(jnp.float32) / 255.0
         out = model.apply(variables, xf, xrf, k_values, K_crop,
@@ -60,32 +68,42 @@ def build_serving_fn(cfg, variables, dtype=None):
                                     "xyz_int", "xyz_fk", "uvd")
                 if k in out}
 
-    return jax.jit(serve), robot
+    if variables is not None:
+        closed = jax.jit(lambda x, xr, k, K: serve(variables, x, xr, k, K))
+        return closed, robot
+    return serve, robot
 
 
 def export_serving_fn(cfg, variables, batch_size: int = 128,
                       platforms=("tpu", "cpu"), dtype=None) -> bytes:
     """Serialize the serving function for `batch_size` (fixed shape: the
     serving sweet spot is batch 128 and Predictor-style chunking composes
-    outside the artifact). Returns the artifact bytes (header + metadata
-    + jax.export payload)."""
+    outside the artifact). Returns the artifact bytes:
+    magic | meta | msgpack weight tree | jax.export payload."""
     import jax
     import jax.numpy as jnp
+    from flax import serialization
     from jax import export as jexport
 
     from horopose_tpu.pipelines.common import crop_sizes
 
-    serve, robot = build_serving_fn(cfg, variables, dtype=dtype)
+    serve, robot = build_serving_fn(cfg, dtype=dtype)
     rootnet_hw, other_hw = crop_sizes(cfg)
     B = int(batch_size)
+    var_specs = jax.tree.map(
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        variables)
     specs = (
+        var_specs,
         jax.ShapeDtypeStruct((B, *other_hw, 3), jnp.uint8),
         jax.ShapeDtypeStruct((B, *rootnet_hw, 3), jnp.uint8),
         jax.ShapeDtypeStruct((B,), jnp.float32),
         jax.ShapeDtypeStruct((B, 3, 3), jnp.float32),
     )
-    exported = jexport.export(serve, platforms=tuple(platforms))(*specs)
+    exported = jexport.export(jax.jit(serve),
+                              platforms=tuple(platforms))(*specs)
     payload = exported.serialize()
+    weights = serialization.to_bytes(jax.device_get(variables))
     meta = json.dumps({
         "batch_size": B,
         "other_hw": list(other_hw),
@@ -99,7 +117,8 @@ def export_serving_fn(cfg, variables, batch_size: int = 128,
         "inputs": ["crops_uint8 (B,H,W,3)", "root_crops_uint8 (B,h,w,3)",
                    "k_values (B,)", "K_crop (B,3,3)"],
     }).encode()
-    return _MAGIC + struct.pack("<I", len(meta)) + meta + payload
+    return (_MAGIC + struct.pack("<Q", len(meta)) + meta
+            + struct.pack("<Q", len(weights)) + weights + payload)
 
 
 def export_experiment(exp_path: str, out_path: str, batch_size: int = 128,
@@ -119,28 +138,53 @@ def export_experiment(exp_path: str, out_path: str, batch_size: int = 128,
                              dtype=jnp.bfloat16 if bf16 else None)
     with open(out_path, "wb") as f:
         f.write(blob)
-    return json.loads(_read_meta(blob)[0])
+    return json.loads(_split_blob(blob)[0])
 
 
-def _read_meta(blob: bytes):
+def _split_blob(blob: bytes):
+    """-> (meta_json_str, weights_bytes, payload_bytes)."""
     if not blob.startswith(_MAGIC):
         raise ValueError("not a horopose_tpu export artifact")
     off = len(_MAGIC)
-    (n,) = struct.unpack_from("<I", blob, off)
-    off += 4
-    return blob[off:off + n].decode(), blob[off + n:]
+    (n,) = struct.unpack_from("<Q", blob, off)
+    off += 8
+    meta = blob[off:off + n].decode()
+    off += n
+    (w,) = struct.unpack_from("<Q", blob, off)
+    off += 8
+    return meta, blob[off:off + w], blob[off + w:]
 
 
-def load_serving_fn(path: str):
-    """Deserialize an artifact -> (callable, metadata dict). The callable
-    takes exactly the exported shapes (see metadata)."""
+def load_exported(path: str):
+    """Low-level load: -> (jax.export.Exported, weight tree, meta dict).
+    `exported.call(variables, x, x_root, k, K)` is jit-composable; pass
+    the weights as an ARGUMENT (e.g. via jax.jit) rather than closing
+    over them inside a jit, or they become program constants again."""
+    from flax import serialization
     from jax import export as jexport
 
     with open(path, "rb") as f:
         blob = f.read()
-    meta_json, payload = _read_meta(blob)
+    meta_json, weights_bytes, payload = _split_blob(blob)
     exported = jexport.deserialize(payload)
-    return exported.call, json.loads(meta_json)
+    variables = serialization.msgpack_restore(weights_bytes)
+    return exported, variables, json.loads(meta_json)
+
+
+def load_serving_fn(path: str):
+    """Deserialize an artifact -> (callable, metadata dict). The callable
+    takes (crops_u8, root_crops_u8, k_values, K_crop) at exactly the
+    exported shapes (see metadata); the weight tree is restored from the
+    artifact, moved to device once, and bound automatically."""
+    import jax
+
+    exported, variables, meta = load_exported(path)
+    variables = jax.device_put(variables)
+
+    def fn(x, x_root, k_values, K_crop):
+        return exported.call(variables, x, x_root, k_values, K_crop)
+
+    return fn, meta
 
 
 def main(argv=None):

@@ -60,7 +60,7 @@ def test_export_roundtrip_matches_direct(small_cfg_vars, tmp_path):
 
     x, xr, k, K = _inputs(B)
     out = fn(x, xr, k, K)
-    direct_fn, _ = build_serving_fn(cfg, variables)
+    direct_fn, _ = build_serving_fn(cfg, variables=variables)
     ref = direct_fn(jnp.asarray(x), jnp.asarray(xr), jnp.asarray(k),
                     jnp.asarray(K))
     assert set(out) == set(ref)
@@ -82,14 +82,16 @@ def test_export_artifact_is_self_contained(small_cfg_vars, tmp_path):
     path = tmp_path / "solo.hlo"
     path.write_bytes(blob)
 
-    # load through jax.export only (simulating a serving process without
-    # horopose_tpu model code) via the tiny header parser
-    from horopose_tpu.tools.export import _read_meta
+    # load through jax.export + flax msgpack only (simulating a serving
+    # process without horopose_tpu model code) via the header parser
+    from horopose_tpu.tools.export import _split_blob
+    from flax import serialization
     from jax import export as jexport
-    meta_json, payload = _read_meta(path.read_bytes())
+    meta_json, weights_bytes, payload = _split_blob(path.read_bytes())
     exported = jexport.deserialize(payload)
+    weights = serialization.msgpack_restore(weights_bytes)
     x, xr, k, K = _inputs(1)
-    out = exported.call(x, xr, k, K)
+    out = exported.call(weights, x, xr, k, K)
     assert np.isfinite(np.asarray(out["xyz_fk"])).all()
     assert json.loads(meta_json)["platforms"] == ["cpu"]
 
