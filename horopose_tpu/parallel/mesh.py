@@ -18,17 +18,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: Optional[int] = None,
-              axis_names: Sequence[str] = ("data",)) -> Mesh:
-    """1-D data mesh over the first n_devices (default: all)."""
+              axis_names: Sequence[str] = ("data",),
+              shape: Optional[Sequence[int]] = None) -> Mesh:
+    """Mesh over the first n_devices (default: all).
+
+    1-D by default. Pass `shape` (with matching `axis_names`) for an N-D
+    mesh, e.g. make_mesh(axis_names=("data", "spatial"), shape=(2, 4)) —
+    the layout used by latency-mode serving, where images are additionally
+    split along H over the `spatial` axis (XLA inserts the conv halo
+    exchanges; see image_sharding)."""
     devices = jax.devices()
+    if shape is not None:
+        total = int(np.prod(shape))
+        if len(shape) != len(axis_names):
+            raise ValueError(f"shape {shape} / axis_names {axis_names} "
+                             "length mismatch")
+        if total > len(devices):
+            raise ValueError(f"mesh shape {shape} needs {total} devices, "
+                             f"have {len(devices)}")
+        return Mesh(np.asarray(devices[:total]).reshape(tuple(shape)),
+                    axis_names=tuple(axis_names))
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=axis_names)
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard axis 0 over the data axis."""
-    return NamedSharding(mesh, P("data"))
+    """Shard axis 0 over the data axis (replicated if the mesh has none —
+    e.g. a pure-'spatial' latency mesh)."""
+    return NamedSharding(mesh, P("data" if "data" in mesh.axis_names
+                                 else None))
+
+
+def image_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, H, W, C) image batches: B over 'data' (if the mesh has it), H
+    over 'spatial' (if the mesh has it). Sharding the convolution's H
+    dimension makes XLA's SPMD partitioner split every conv spatially and
+    insert halo exchanges over ICI — the latency lever for small batches,
+    where data parallelism has nothing to split. Callers must keep
+    H % mesh.shape['spatial'] == 0 (true for the 256/192/160/128 crop
+    ladder on any power-of-two spatial axis)."""
+    batch = "data" if "data" in mesh.axis_names else None
+    spatial = "spatial" if "spatial" in mesh.axis_names else None
+    return NamedSharding(mesh, P(batch, spatial))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -39,6 +71,20 @@ def shard_batch(batch, mesh: Mesh):
     """Device-put a (nested dict) numpy batch with axis 0 sharded."""
     sharding = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_images(x, mesh: Mesh):
+    """Device-put an image batch with B over 'data' and H over 'spatial'
+    (whichever axes the mesh has; see image_sharding). Each axis falls
+    back to replication independently when its dimension is not divisible
+    by the mesh axis size (Predictor pads B before calling; raw callers
+    with odd shapes still get a working placement)."""
+    axes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    batch = ("data" if "data" in axes and x.ndim >= 1
+             and x.shape[0] % axes["data"] == 0 else None)
+    spatial = ("spatial" if "spatial" in axes and x.ndim >= 2
+               and x.shape[1] % axes["spatial"] == 0 else None)
+    return jax.device_put(x, NamedSharding(mesh, P(batch, spatial)))
 
 
 def replicate(tree, mesh: Mesh):

@@ -61,9 +61,13 @@ def tiling_friendly_batch(b: int) -> int:
 
 class Predictor:
     def __init__(self, cfg, variables, dtype=jnp.float32, mesh=None):
-        """mesh: optional jax.sharding.Mesh (1-D, 'data' axis) for
-        data-parallel serving — params replicated once, every batch
-        sharded along axis 0 (padded up to device-count divisibility)."""
+        """mesh: optional jax.sharding.Mesh. A 'data' axis gives
+        data-parallel serving (params replicated, batch split along axis
+        0, padded up to axis-size divisibility); a 'spatial' axis
+        additionally splits the image H dimension across devices for
+        latency-mode serving (XLA halo-exchanged convs; see
+        parallel.image_sharding). Hybrids: make_mesh(
+        axis_names=("data", "spatial"), shape=(d, s))."""
         self.cfg = cfg
         self.mesh = mesh
         self.robot = make_robot(cfg)
@@ -170,17 +174,26 @@ class Predictor:
 
     def _device_args(self, crops, crops_root, k_values, K_crops):
         """Move inputs to device; under a mesh, replicate the params once
-        and shard the batch (padding to device-count divisibility — the
-        pad rows are trimmed from every output in __call__)."""
+        and shard the batch (padding to data-axis divisibility — the
+        pad rows are trimmed from every output in __call__).
+
+        Mesh axes drive the strategy: a 'data' axis splits the batch
+        (throughput mode); a 'spatial' axis additionally splits the image
+        H dimension, XLA inserting conv halo exchanges over ICI (latency
+        mode — the lever when the batch is too small to split, e.g. b=1
+        real-time serving; make_mesh(axis_names=("spatial",)) or a hybrid
+        ("data", "spatial") grid)."""
         if self.mesh is None:
             return (self.variables, jnp.asarray(crops),
                     jnp.asarray(crops_root), jnp.asarray(k_values),
                     jnp.asarray(K_crops), 0)
-        from horopose_tpu.parallel import replicate, shard_batch
+        from horopose_tpu.parallel import (data_sharding, replicate,
+                                           shard_images)
         if not getattr(self, "_replicated", False):
             self.variables = replicate(self.variables, self.mesh)
             self._replicated = True
-        n = self.mesh.devices.size
+        n = dict(zip(self.mesh.axis_names,
+                     self.mesh.devices.shape)).get("data", 1)
         pad = (-len(crops)) % n
         if pad:
             crops = np.concatenate([crops, np.repeat(crops[-1:], pad, 0)])
@@ -190,10 +203,12 @@ class Predictor:
                 [k_values, np.repeat(k_values[-1:], pad, 0)])
             K_crops = np.concatenate(
                 [K_crops, np.repeat(K_crops[-1:], pad, 0)])
-        sharded = shard_batch(
-            dict(x=crops, xr=crops_root, k=k_values, K=K_crops), self.mesh)
-        return (self.variables, sharded["x"], sharded["xr"], sharded["k"],
-                sharded["K"], pad)
+        ds = data_sharding(self.mesh)
+        return (self.variables,
+                shard_images(np.ascontiguousarray(crops), self.mesh),
+                shard_images(np.ascontiguousarray(crops_root), self.mesh),
+                jax.device_put(k_values, ds),
+                jax.device_put(K_crops, ds), pad)
 
     def _forward_bucketed(self, crops, crops_root, k_values, K_crops):
         """Forward with cliff-proof batching: pad up the ladder below
