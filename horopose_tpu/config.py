@@ -187,6 +187,10 @@ def make_default_cfg() -> AttrDict:
     # TPU-native extensions (defaults keep reference behavior)
     cfg.mesh_shape = None          # e.g. [8] for 8-way data parallelism
     cfg.compute_dtype = "float32"  # or "bfloat16" for backbone compute
+    cfg.remat = False              # jax.checkpoint per backbone block: the
+    #                                backward recomputes block internals
+    #                                instead of storing them (fits bigger
+    #                                training batches at ~extra fwd FLOPs)
     cfg.debug_nans = False         # jax NaN tripwire (reference keeps torch
     #                                anomaly detection always-on)
     cfg.profile_dir = None         # write an XLA profiler trace here

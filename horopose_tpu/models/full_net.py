@@ -102,6 +102,7 @@ class FullNet(nn.Module):
     init_pose: Tuple[float, ...] = ()        # (dof,) initial joint angles
     init_rot: Tuple[float, ...] = (1, 0, 0, 0, 1, 0)  # identity rot6d
     use_pallas_integral: Optional[bool] = None  # None -> auto (TPU only)
+    remat: bool = False   # per-block jax.checkpoint in both backbones
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -119,14 +120,16 @@ class FullNet(nn.Module):
         # ---- root depth branch (full_net.py:252-287) ----
         if self.rootnet_backbone_name in _RESNETS:
             fm = get_resnet(self.rootnet_backbone_name, self.dtype,
-                            name="rootnet_backbone")(x_root, train=train)
+                            name="rootnet_backbone",
+                            remat=self.remat)(x_root, train=train)
             img_feat = jnp.mean(fm, axis=(1, 2))
         elif self.rootnet_backbone_name in _HRNETS:
             img_feat = get_hrnet(_hrnet_width(self.rootnet_backbone_name),
                                  num_joints=self.num_keypoints,
                                  depth_dim=self.depth_dim, generate_hm=False,
                                  generate_feat=True, dtype=self.dtype,
-                                 name="rootnet_backbone")(x_root, train=train)
+                                 name="rootnet_backbone",
+                                 remat=self.remat)(x_root, train=train)
         else:
             raise NotImplementedError(self.rootnet_backbone_name)
         inplanes = img_feat.shape[-1]
@@ -158,7 +161,8 @@ class FullNet(nn.Module):
         # ---- keypoint (integral) branch (full_net.py:291-302) ----
         if self.backbone_name in _RESNETS:
             x_out = get_resnet(self.backbone_name, self.dtype,
-                               name="reg_backbone")(x_reg, train=train)
+                               name="reg_backbone",
+                               remat=self.remat)(x_reg, train=train)
             xf = jnp.mean(x_out, axis=(1, 2))             # avgpool -> (B, C)
             y = x_out
             for i in range(3):
@@ -177,7 +181,8 @@ class FullNet(nn.Module):
                                num_joints=self.num_keypoints,
                                depth_dim=self.depth_dim, generate_hm=True,
                                generate_feat=True, dtype=self.dtype,
-                               name="reg_backbone")(x_reg, train=train)
+                               name="reg_backbone",
+                               remat=self.remat)(x_reg, train=train)
             x_out = None
         else:
             raise NotImplementedError(self.backbone_name)

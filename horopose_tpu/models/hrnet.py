@@ -132,10 +132,18 @@ class HRNet(nn.Module):
     generate_hm: bool = True
     generate_feat: bool = True
     dtype: Any = jnp.float32
+    # jax.checkpoint per layer1-Bottleneck / HighResolutionModule: the
+    # backward pass recomputes each unit's internals instead of storing
+    # them (cfg.remat — trades forward FLOPs for activation HBM)
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         w = self.width
+        bottleneck_cls, module_cls = Bottleneck, HighResolutionModule
+        if self.remat:  # train passed positionally below (static arg)
+            bottleneck_cls = nn.remat(Bottleneck, static_argnums=(2,))
+            module_cls = nn.remat(HighResolutionModule, static_argnums=(2,))
         norm = lambda name=None: batch_norm(train, dtype=self.dtype,
                                             name=name)
         # stem (1/4 resolution)
@@ -146,28 +154,28 @@ class HRNet(nn.Module):
                     dtype=self.dtype, name="conv2")(x)
         x = nn.relu(norm("bn2")(x))
         for i in range(4):
-            x = Bottleneck(filters=64, dtype=self.dtype,
-                           name=f"layer1_{i}")(x, train=train)
+            x = bottleneck_cls(filters=64, dtype=self.dtype,
+                               name=f"layer1_{i}")(x, train)
 
         c2 = [w, 2 * w]
         c3 = [w, 2 * w, 4 * w]
         c4 = [w, 2 * w, 4 * w, 8 * w]
         xs = TransitionLayer([256], c2, dtype=self.dtype,
                              name="transition1")([x], train=train)
-        xs = HighResolutionModule(2, 4, c2, dtype=self.dtype,
-                                  name="stage2_m0")(xs, train=train)
+        xs = module_cls(2, 4, c2, dtype=self.dtype,
+                        name="stage2_m0")(xs, train)
         xs = TransitionLayer(c2, c3, dtype=self.dtype,
                              name="transition2")(xs, train=train)
         for m in range(4):
-            xs = HighResolutionModule(3, 4, c3, dtype=self.dtype,
-                                      name=f"stage3_m{m}")(xs, train=train)
+            xs = module_cls(3, 4, c3, dtype=self.dtype,
+                            name=f"stage3_m{m}")(xs, train)
         xs = TransitionLayer(c3, c4, dtype=self.dtype,
                              name="transition3")(xs, train=train)
         for m in range(3):
             last = m == 2
-            xs = HighResolutionModule(
+            xs = module_cls(
                 4, 4, c4, multi_scale_output=(self.generate_feat or not last),
-                dtype=self.dtype, name=f"stage4_m{m}")(xs, train=train)
+                dtype=self.dtype, name=f"stage4_m{m}")(xs, train)
 
         outputs: Tuple = ()
         if self.generate_hm:
@@ -176,12 +184,12 @@ class HRNet(nn.Module):
             outputs += (hm,)
         if self.generate_feat:
             head_channels = [32, 64, 128, 256]
-            y = Bottleneck(filters=head_channels[0], dtype=self.dtype,
-                           name="incre0")(xs[0], train=train)
+            y = bottleneck_cls(filters=head_channels[0], dtype=self.dtype,
+                               name="incre0")(xs[0], train)
             for i in range(3):
-                incre = Bottleneck(filters=head_channels[i + 1],
-                                   dtype=self.dtype,
-                                   name=f"incre{i + 1}")(xs[i + 1], train=train)
+                incre = bottleneck_cls(filters=head_channels[i + 1],
+                                       dtype=self.dtype,
+                                       name=f"incre{i + 1}")(xs[i + 1], train)
                 y = nn.Conv(head_channels[i + 1] * 4, (3, 3), (2, 2),
                             padding=1, dtype=self.dtype,
                             name=f"downsamp{i}")(y)
@@ -196,7 +204,8 @@ class HRNet(nn.Module):
 
 def get_hrnet(width: int = 32, num_joints: int = 7, depth_dim: int = 64,
               generate_hm: bool = True, generate_feat: bool = True,
-              dtype=jnp.float32, name: str = None) -> HRNet:
+              dtype=jnp.float32, name: str = None,
+              remat: bool = False) -> HRNet:
     return HRNet(width=width, num_joints=num_joints, depth_dim=depth_dim,
                  generate_hm=generate_hm, generate_feat=generate_feat,
-                 dtype=dtype, name=name)
+                 dtype=dtype, name=name, remat=remat)

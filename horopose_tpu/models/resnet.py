@@ -89,6 +89,10 @@ class ResNet(nn.Module):
     block: str = "bottleneck"           # "basic" | "bottleneck"
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     dtype: Any = jnp.float32
+    # per-block jax.checkpoint: backward recomputes each block's internals
+    # instead of storing them — trades ~30% extra forward FLOPs for the
+    # activation memory that caps the training batch (cfg.remat knob)
+    remat: bool = False
 
     @property
     def expansion(self) -> int:
@@ -101,6 +105,8 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = True):
         block_cls: Callable = Bottleneck if self.block == "bottleneck" else BasicBlock
+        if self.remat:  # train must then be passed positionally (static arg)
+            block_cls = nn.remat(block_cls, static_argnums=(2,))
         x = nn.Conv(64, (7, 7), (2, 2), padding=3, use_bias=False,
                     dtype=self.dtype, name="conv1")(x)
         x = batch_norm(train, dtype=self.dtype, name="bn1")(x)
@@ -111,10 +117,12 @@ class ResNet(nn.Module):
                 strides = 2 if stage > 0 and i == 0 else 1
                 x = block_cls(filters=64 * 2 ** stage, strides=strides,
                               dtype=self.dtype,
-                              name=f"layer{stage + 1}_{i}")(x, train=train)
+                              name=f"layer{stage + 1}_{i}")(x, train)
         return x
 
 
-def get_resnet(arch: str, dtype=jnp.float32, name: str = None) -> ResNet:
+def get_resnet(arch: str, dtype=jnp.float32, name: str = None,
+               remat: bool = False) -> ResNet:
     block, sizes = RESNET_SPECS[arch]
-    return ResNet(block=block, stage_sizes=sizes, dtype=dtype, name=name)
+    return ResNet(block=block, stage_sizes=sizes, dtype=dtype, name=name,
+                  remat=remat)

@@ -77,6 +77,7 @@ def build_fullnet(cfg) -> FullNet:
         joint_conv_dim=tuple(cfg.joint_conv_dim) or (256, 256, 256),
         joint_bounds=C.JOINT_BOUNDS[robot_type] if cfg.reg_joint_map else None,
         add_fc=bool(cfg.add_fc),
+        remat=bool(cfg.get("remat", False)),
         multi_kp=bool(cfg.multi_kp),
         kps_need_depth=tuple(cfg.kps_need_depth) if cfg.kps_need_depth
         else None,

@@ -214,6 +214,10 @@ def main():
     p.add_argument("--prestaged", action="store_true",
                    help="time the real loop shape over pre-collated host "
                         "batches (loader excluded; see run_prestaged_mode)")
+    p.add_argument("--remat", action="store_true",
+                   help="per-block jax.checkpoint in both backbones "
+                        "(cfg.remat): fits larger batches at extra fwd "
+                        "FLOPs")
     args = p.parse_args()
 
     from horopose_tpu.config import make_default_cfg
@@ -226,6 +230,8 @@ def main():
     cfg.rootnet_backbone_name = "hrnet32"
     if args.bf16:
         cfg.compute_dtype = "bfloat16"
+    if args.remat:
+        cfg.remat = True
     for k in ("pose", "rot", "trans", "uv"):
         cfg[f"{k}_loss_weight"] = 1.0
     for k in ("depth", "kp2d", "kp3d", "kp2d_int", "kp3d_int"):
