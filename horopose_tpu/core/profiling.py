@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import contextlib
 import time
-from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -71,29 +70,35 @@ class StepTimer:
         return self._total / n
 
 
-def branch_latency_report(model, variables, robot, batch_size: int = 128,
-                          image_size: int = 256, iters: int = 10
-                          ) -> Dict[str, float]:
-    """Per-branch latency split, mirroring the reference's
-    rootnet/regression timing (test.py:267-273) — measured as separate
-    jitted subgraphs (XLA schedules them together in the fused forward, so
-    the split is informational)."""
-    x = jnp.zeros((batch_size, image_size, image_size, 3))
-    k = jnp.full((batch_size,), 1500.0)
-    K = jnp.broadcast_to(jnp.eye(3), (batch_size, 3, 3)).astype(jnp.float32)
+def chained_seconds(step, carry0, iters: int = 10, passes: int = 1) -> float:
+    """Seconds per iteration of `step` (carry -> carry), timed honestly on
+    remote-attached backends: the canonical harness behind bench.py,
+    measure_forward_fps and every bench_*.py script.
+
+    `iters` iterations run chained inside ONE jitted lax.scan — each
+    iteration's input must depend on the previous output through `step`'s
+    carry, which stops XLA from reordering, eliding, or hoisting the
+    loop-invariant work out of the scan — synchronized by a host transfer
+    of the reduced carry (plain block_until_ready does not reliably
+    synchronize over the remote TPU tunnel; dispatch-loop timing there
+    overestimates throughput by orders of magnitude). One compile+warmup
+    pass, then the mean of `passes` steady-state passes.
+    """
+    import numpy as np
 
     @jax.jit
-    def full(v, xr, xo, kk, KK):
-        return model.apply(v, xr, xo, kk, KK, train=False)["pose"]
+    def chained(c0):
+        c, _ = jax.lax.scan(lambda c, _: (step(c), ()), c0, None,
+                            length=iters)
+        return jax.tree.map(lambda a: jnp.asarray(a).mean(), c)
 
-    def timeit(fn, *args):
-        out = fn(*args)
-        jax.block_until_ready(out)
+    def run():
+        return np.asarray(jax.tree.leaves(chained(carry0))[0])
+
+    run()                                        # compile + warmup
+    dts = []
+    for _ in range(max(1, passes)):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / iters
-
-    whole = timeit(full, variables, x, x, k, K)
-    return dict(time_whole=whole, fps=batch_size / whole)
+        run()
+        dts.append(time.perf_counter() - t0)
+    return sum(dts) / len(dts) / iters

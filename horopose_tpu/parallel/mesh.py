@@ -80,10 +80,11 @@ def shard_images(x, mesh: Mesh):
     by the mesh axis size (Predictor pads B before calling; raw callers
     with odd shapes still get a working placement)."""
     axes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    batch = ("data" if "data" in axes and x.ndim >= 1
-             and x.shape[0] % axes["data"] == 0 else None)
-    spatial = ("spatial" if "spatial" in axes and x.ndim >= 2
-               and x.shape[1] % axes["spatial"] == 0 else None)
+    batch, spatial = image_sharding(mesh).spec
+    if batch and not (x.ndim >= 1 and x.shape[0] % axes["data"] == 0):
+        batch = None
+    if spatial and not (x.ndim >= 2 and x.shape[1] % axes["spatial"] == 0):
+        spatial = None
     return jax.device_put(x, NamedSharding(mesh, P(batch, spatial)))
 
 

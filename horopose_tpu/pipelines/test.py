@@ -117,22 +117,17 @@ def measure_forward_fps(model, robot, state, cfg, batch_size: int,
         return fk.mean()
 
     def time_variant(select):
-        @jax.jit
-        def chained(v, x0):
-            # chain on a scalar perturbation so both crops (possibly
-            # different sizes) depend on the previous iteration's output
-            def body(c, _):
-                out = model.apply(v, x_reg + c, x_root + c, k, K,
-                                  train=False)
-                return c + select(out).astype(c.dtype) * 1e-9, ()
-            c, _ = jax.lax.scan(body, x0, None, length=iters)
-            return c.mean()
+        from horopose_tpu.core.profiling import chained_seconds
 
-        c0 = jnp.zeros((), jnp.float32)
-        np.asarray(chained(variables, c0))      # compile + warmup
-        t0 = time.perf_counter()
-        np.asarray(chained(variables, c0))
-        return (time.perf_counter() - t0) / iters / batch_size
+        # chain on a scalar perturbation so both crops (possibly
+        # different sizes) depend on the previous iteration's output
+        def step(c):
+            out = model.apply(variables, x_reg + c, x_root + c, k, K,
+                              train=False)
+            return c + select(out).astype(c.dtype) * 1e-9
+
+        return chained_seconds(step, jnp.zeros((), jnp.float32),
+                               iters=iters) / batch_size
 
     return {
         "all": time_variant(select_all),

@@ -137,10 +137,12 @@ class Predictor:
         crops_root = crops if same_root else np.empty(
             (B, self.root_size, self.root_size, 3), np.uint8)
         K_crops = np.empty((B, 3, 3), np.float32)
+        bboxes_strict = np.empty((B, 4), np.float32)
         from horopose_tpu import native
         from PIL import Image
         for i in range(B):
             bbox = RU.get_bbox(bboxes[i], W, H, strict=True)
+            bboxes_strict[i] = bbox
             crop = native.crop_resize_bilinear(images[i], bbox, self.size)
             wmin, hmin, wmax, hmax = [int(v) for v in bbox]
             sq = int(max(wmax - wmin, hmax - hmin))
@@ -165,11 +167,17 @@ class Predictor:
             K_crops[i] = RU.get_K_crop_resize_np(
                 K_sq, (0.0, 0.0, float(sq), float(sq)), (sq, sq),
                 (self.size, self.size))
-        fx = np.abs(K_crops[:, 0, 0])
-        fy = np.abs(K_crops[:, 1, 1])
+        # k prior: bbox and fx/fy must come from the SAME frame, exactly as
+        # training pairs them (engine.prepare_gt:147-156 — crop bbox with
+        # crop K, or original bbox with original K; the pairing makes k
+        # frame-invariant). Use the strict ORIGINAL-frame bbox (the one the
+        # crop was built from) with the ORIGINAL intrinsics; mixing the
+        # original bbox with the crop-frame K_crops scales k by size/sq and
+        # biases the predicted root depth by the same bbox-dependent factor.
+        fx = np.abs(K[:, 0, 0].astype(np.float32))
+        fy = np.abs(K[:, 1, 1].astype(np.float32))
         k_values = np.asarray(k_value_from_bbox(
-            jnp.asarray(bboxes, jnp.float32), jnp.asarray(fx),
-            jnp.asarray(fy)))
+            jnp.asarray(bboxes_strict), jnp.asarray(fx), jnp.asarray(fy)))
         return crops, crops_root, K_crops, k_values
 
     def _device_args(self, crops, crops_root, k_values, K_crops):
@@ -216,6 +224,16 @@ class Predictor:
         >128 runs the hrnet branch ~35% slower than 128-chunked launches —
         scripts/bench_batch_cliff.py). Outputs trimmed to the true size."""
         B = len(crops)
+        if B == 0:
+            # run one dummy row and trim: keeps the empty-detection case
+            # (upstream detector found no robots) shape-correct without a
+            # dedicated b=0 compile
+            out = self._forward_bucketed(
+                np.zeros((1, *crops.shape[1:]), crops.dtype),
+                np.zeros((1, *crops_root.shape[1:]), crops_root.dtype),
+                np.ones((1, *k_values.shape[1:]), k_values.dtype),
+                np.tile(np.eye(3, dtype=np.float32), (1, 1, 1)))
+            return jax.tree.map(lambda a: a[:0], out)
         # under the mesh, chunking would shrink per-device shards instead of
         # helping; keep the single padded launch there
         chunk = _MAX_CHUNK if self.mesh is None else max(B, 1)

@@ -90,8 +90,10 @@ def export_serving_fn(cfg, variables, batch_size: int = 128,
     serve, robot = build_serving_fn(cfg, dtype=dtype)
     rootnet_hw, other_hw = crop_sizes(cfg)
     B = int(batch_size)
+    # read shape/dtype without jnp.asarray: that would device-transfer the
+    # full ~320 MB weight tree (over the remote tunnel here) just for specs
     var_specs = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
+        lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.result_type(a)),
         variables)
     specs = (
         var_specs,

@@ -32,25 +32,18 @@ def main():
                            jnp.ones((1,)), jnp.eye(3)[None], train=False)
 
     def timed(B, select, iters=10):
+        from horopose_tpu.core.profiling import chained_seconds
         x = jnp.zeros((B, 256, 256, 3), jnp.float32)
         k = jnp.full((B,), 1500.0, jnp.float32)
         K = jnp.broadcast_to(jnp.asarray(
             [[320.0, 0, 128], [0, 320.0, 128], [0, 0, 1]], jnp.float32),
             (B, 3, 3))
 
-        @jax.jit
-        def chained(v, c0):
-            def body(c, _):
-                out = model.apply(v, x + c, x + c, k, K, train=False)
-                return c + select(out).astype(c.dtype) * 1e-9, ()
-            c, _ = jax.lax.scan(body, c0, None, length=iters)
-            return c.mean()
+        def step(c):
+            out = model.apply(variables, x + c, x + c, k, K, train=False)
+            return c + select(out).astype(c.dtype) * 1e-9
 
-        c0 = jnp.zeros((), jnp.float32)
-        np.asarray(chained(variables, c0))
-        t0 = time.perf_counter()
-        np.asarray(chained(variables, c0))
-        return (time.perf_counter() - t0) / iters
+        return chained_seconds(step, jnp.zeros((), jnp.float32), iters=iters)
 
     rows = {}
     for B in (96, 128, 160, 192):

@@ -69,7 +69,11 @@ def main():
             # the IMAGE inputs must depend on the carry — a k-only
             # dependency lets XLA hoist both loop-invariant backbones out
             # of the scan and the loop times only the heads
-            eps = c.mean().astype(jnp.uint8)        # 0 at runtime, but
+            # clip(mean, 0, 0) == 0 for any finite carry, stays
+            # data-dependent (XLA cannot fold float clip), and never
+            # overflows the uint8 pixels the way an out-of-range
+            # float->uint8 conversion of the carry would
+            eps = jnp.clip(c.mean(), 0.0, 0.0).astype(jnp.uint8)
             out = exported.call(w, x0 + eps, xr + eps, c, K)  # data-dep
             return c + out["xyz_fk"].mean().astype(c.dtype) * 1e-9, ()
         c, _ = jax.lax.scan(body, k, None, length=args.iters)

@@ -67,30 +67,19 @@ def main():
             jnp.asarray([[320.0, 0, 128], [0, 320.0, 128], [0, 0, 1]],
                         jnp.float32), (B, 3, 3))
 
-        @jax.jit
-        def chained(v, xo, xr, k, K):
-            def body(c, _):
-                # tie the rootnet input to the carry: a loop-invariant
-                # x_root would let XLA hoist the whole rootnet branch out
-                # of the scan and the sweep would measure nothing
-                xr_i = xr + c.mean().astype(xr.dtype) * 1e-9
-                out = model.apply(v, c, xr_i, k, K, train=False)
-                fk = robot.get_keypoints_root(out["pose"], out["rot"],
-                                              out["trans"], root=3)
-                return c + fk.mean().astype(c.dtype) * 1e-9, ()
-            c, _ = jax.lax.scan(body, xo, None, length=args.iters)
-            return c.mean()
+        from horopose_tpu.core.profiling import chained_seconds
 
-        t0 = time.perf_counter()
-        np.asarray(chained(variables, x_other, x_root, k, K))
-        print(f"# rootnet={rs}: compile+run {time.perf_counter()-t0:.1f}s",
-              file=sys.stderr)
-        dts = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            np.asarray(chained(variables, x_other, x_root, k, K))
-            dts.append((time.perf_counter() - t0) / args.iters)
-        ips = B / (sum(dts) / len(dts))
+        def step(c):
+            # tie the rootnet input to the carry: a loop-invariant
+            # x_root would let XLA hoist the whole rootnet branch out
+            # of the scan and the sweep would measure nothing
+            xr_i = x_root + c.mean().astype(x_root.dtype) * 1e-9
+            out = model.apply(variables, c, xr_i, k, K, train=False)
+            fk = robot.get_keypoints_root(out["pose"], out["rot"],
+                                          out["trans"], root=3)
+            return c + fk.mean().astype(c.dtype) * 1e-9
+
+        ips = B / chained_seconds(step, x_other, iters=args.iters, passes=2)
         print(json.dumps({"metric": "inference_throughput_rootnet_size",
                           "rootnet_image_size": rs,
                           "value": round(ips, 1),

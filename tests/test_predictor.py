@@ -195,3 +195,46 @@ def test_predictor_mesh_serving_matches_single_device(experiment, rng):
                 "keypoints_2d"):
         np.testing.assert_allclose(single[key], meshed[key], rtol=3e-3,
                                    atol=2e-4, err_msg=key)
+
+
+def test_predictor_k_value_frame_consistency(experiment, rng):
+    """The k prior must pair bbox and fx/fy in the SAME frame, like
+    training (engine.prepare_gt:147-156): k = sqrt(fx*fy*1e6)/side is then
+    invariant to the crop. Regression: mixing the original-frame bbox with
+    the crop-frame intrinsics scaled k by size/sq, biasing predicted root
+    depth by the bbox size."""
+    from horopose_tpu.predictor import Predictor
+    pred = Predictor.from_experiment(str(experiment))
+    B, H, W = 2, 480, 640
+    images = rng.randint(0, 255, (B, H, W, 3), dtype=np.uint8)
+    fx, fy = 321.7, 319.2
+    K = np.tile(np.asarray([[fx, 0, 320], [0, fy, 240], [0, 0, 1]],
+                           np.float32)[None], (B, 1, 1))
+    bboxes = np.asarray([[150, 100, 450, 380],      # 300x280 -> side 300
+                         [200, 150, 330, 390]],     # 130x240 -> side 240
+                        np.float32)
+    _, _, _, k_values = pred.preprocess(images, K, bboxes)
+    from horopose_tpu.data import roboutils as RU
+    for i in range(B):
+        sb = RU.get_bbox(bboxes[i], W, H, strict=True)
+        side = max(sb[2] - sb[0], sb[3] - sb[1])
+        expect = np.sqrt(fx * fy * 1e6 / (side * side))
+        np.testing.assert_allclose(k_values[i], expect, rtol=1e-5)
+    # the two bboxes differ in size, so a frame-mixing bug (k multiplied
+    # by size/sq) would distort their RATIO; the consistent pairing keeps
+    # the ratio equal to side2/side1
+    np.testing.assert_allclose(k_values[1] / k_values[0], 300.0 / 240.0,
+                               rtol=1e-4)
+
+
+def test_predictor_empty_batch(experiment):
+    """B=0 (detector found no robots) returns empty, shape-correct
+    outputs instead of crashing in _forward_bucketed."""
+    from horopose_tpu.predictor import Predictor
+    pred = Predictor.from_experiment(str(experiment))
+    images = np.zeros((0, 480, 640, 3), np.uint8)
+    K = np.zeros((0, 3, 3), np.float32)
+    out = pred(images, K)
+    assert out["joints"].shape == (0, 8)
+    assert out["keypoints_3d"].shape == (0, 7, 3)
+    assert out["keypoints_2d"].shape == (0, 7, 2)
