@@ -70,10 +70,11 @@ class StepTimer:
         return self._total / n
 
 
-def chained_seconds(step, carry0, iters: int = 10, passes: int = 1) -> float:
-    """Seconds per iteration of `step` (carry -> carry), timed honestly on
-    remote-attached backends: the canonical harness behind bench.py,
-    measure_forward_fps and every bench_*.py script.
+def chained_seconds(step, carry0, *args, iters: int = 10,
+                    passes: int = 1) -> float:
+    """Seconds per iteration of `step(carry, *args) -> carry`, timed
+    honestly on remote-attached backends: the canonical harness behind
+    bench.py, measure_forward_fps and every bench_*.py script.
 
     `iters` iterations run chained inside ONE jitted lax.scan — each
     iteration's input must depend on the previous output through `step`'s
@@ -83,17 +84,23 @@ def chained_seconds(step, carry0, iters: int = 10, passes: int = 1) -> float:
     synchronize over the remote TPU tunnel; dispatch-loop timing there
     overestimates throughput by orders of magnitude). One compile+warmup
     pass, then the mean of `passes` steady-state passes.
+
+    Pass every large array `step` needs (weights, input tensors) through
+    `*args`, NOT via closure: closed-over arrays are baked into the jitted
+    program as constants, which bloats the HLO and can exceed the remote
+    backend's compile-request size cap (observed: HTTP 413 with a ~300 MB
+    closed-over weight tree).
     """
     import numpy as np
 
     @jax.jit
-    def chained(c0):
-        c, _ = jax.lax.scan(lambda c, _: (step(c), ()), c0, None,
+    def chained(c0, *a):
+        c, _ = jax.lax.scan(lambda c, _: (step(c, *a), ()), c0, None,
                             length=iters)
-        return jax.tree.map(lambda a: jnp.asarray(a).mean(), c)
+        return jax.tree.map(lambda t: jnp.asarray(t).mean(), c)
 
     def run():
-        return np.asarray(jax.tree.leaves(chained(carry0))[0])
+        return np.asarray(jax.tree.leaves(chained(carry0, *args))[0])
 
     run()                                        # compile + warmup
     dts = []

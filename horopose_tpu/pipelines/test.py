@@ -121,12 +121,12 @@ def measure_forward_fps(model, robot, state, cfg, batch_size: int,
 
         # chain on a scalar perturbation so both crops (possibly
         # different sizes) depend on the previous iteration's output
-        def step(c):
-            out = model.apply(variables, x_reg + c, x_root + c, k, K,
-                              train=False)
+        def step(c, v, xr, xo, kk, KK):
+            out = model.apply(v, xr + c, xo + c, kk, KK, train=False)
             return c + select(out).astype(c.dtype) * 1e-9
 
         return chained_seconds(step, jnp.zeros((), jnp.float32),
+                               variables, x_reg, x_root, k, K,
                                iters=iters) / batch_size
 
     return {

@@ -39,11 +39,12 @@ def main():
             [[320.0, 0, 128], [0, 320.0, 128], [0, 0, 1]], jnp.float32),
             (B, 3, 3))
 
-        def step(c):
-            out = model.apply(variables, x + c, x + c, k, K, train=False)
+        def step(c, v, xx, kk, KK):
+            out = model.apply(v, xx + c, xx + c, kk, KK, train=False)
             return c + select(out).astype(c.dtype) * 1e-9
 
-        return chained_seconds(step, jnp.zeros((), jnp.float32), iters=iters)
+        return chained_seconds(step, jnp.zeros((), jnp.float32),
+                               variables, x, k, K, iters=iters)
 
     rows = {}
     for B in (96, 128, 160, 192):

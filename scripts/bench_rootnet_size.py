@@ -69,17 +69,18 @@ def main():
 
         from horopose_tpu.core.profiling import chained_seconds
 
-        def step(c):
+        def step(c, v, xr, kk, KK):
             # tie the rootnet input to the carry: a loop-invariant
             # x_root would let XLA hoist the whole rootnet branch out
             # of the scan and the sweep would measure nothing
-            xr_i = x_root + c.mean().astype(x_root.dtype) * 1e-9
-            out = model.apply(variables, c, xr_i, k, K, train=False)
+            xr_i = xr + c.mean().astype(xr.dtype) * 1e-9
+            out = model.apply(v, c, xr_i, kk, KK, train=False)
             fk = robot.get_keypoints_root(out["pose"], out["rot"],
                                           out["trans"], root=3)
             return c + fk.mean().astype(c.dtype) * 1e-9
 
-        ips = B / chained_seconds(step, x_other, iters=args.iters, passes=2)
+        ips = B / chained_seconds(step, x_other, variables, x_root, k, K,
+                                  iters=args.iters, passes=2)
         print(json.dumps({"metric": "inference_throughput_rootnet_size",
                           "rootnet_image_size": rs,
                           "value": round(ips, 1),

@@ -214,6 +214,8 @@ def main():
     p.add_argument("--prestaged", action="store_true",
                    help="time the real loop shape over pre-collated host "
                         "batches (loader excluded; see run_prestaged_mode)")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--rootnet_backbone", default="hrnet32")
     p.add_argument("--remat", action="store_true",
                    help="per-block jax.checkpoint in both backbones "
                         "(cfg.remat): fits larger batches at extra fwd "
@@ -226,8 +228,8 @@ def main():
     from horopose_tpu.pipelines.common import build_fullnet, make_robot
 
     cfg = make_default_cfg()
-    cfg.backbone_name = "resnet50"
-    cfg.rootnet_backbone_name = "hrnet32"
+    cfg.backbone_name = args.backbone
+    cfg.rootnet_backbone_name = args.rootnet_backbone
     if args.bf16:
         cfg.compute_dtype = "bfloat16"
     if args.remat:
