@@ -64,46 +64,45 @@ def make_args(batch_size: int):
 
 def measure(model, robot, variables, batch_size: int, iters: int = 10,
             root_size: int = None):
-    """Honest throughput: `iters` full forwards chained ON DEVICE inside one
-    jit (each iteration's input depends on the previous output, preventing
-    reordering/elision) and synchronized with a host transfer of the scalar
-    result. Plain block_until_ready does not reliably synchronize over
-    remote-attached TPU backends, so dispatch-loop timing overestimates.
+    """Honest throughput via the shared chained-scan harness
+    (core/profiling.chained_seconds): `iters` full forwards chained ON
+    DEVICE inside one jit, synchronized with a host transfer, mean of two
+    steady-state passes (the cross-round methodology since round 3).
 
     root_size shrinks only the ROOTNET crop (the reference's
-    rootnet_image_size knob) while the regression crop stays 256."""
+    rootnet_image_size knob) while the regression crop stays 256. The
+    rootnet input MUST travel as a jit argument: a closed-over device
+    array becomes an HLO constant, and the measured cost of that constant
+    path is ~1.6x the true step time (2607 vs 4265 img/s at crop 128,
+    probed both ways on v5e) — same class of artifact chained_seconds'
+    docstring warns about."""
+    from horopose_tpu.core.profiling import chained_seconds
     x, _, k, K = make_args(batch_size)
-    xr = None if root_size is None else jnp.zeros(
-        (batch_size, root_size, root_size, 3), jnp.float32)
 
-    @jax.jit
-    def chained(v, x0, k, K):
-        def body(c, _):
-            if xr is None:
-                xr_i = c
-            else:
-                # tie to the carry or XLA hoists the rootnet branch
-                xr_i = xr + c.mean().astype(xr.dtype) * 1e-9
-            out = model.apply(v, c, xr_i, k, K, train=False)
+    if root_size is None:
+        def step(c, v, kk, KK):
+            out = model.apply(v, c, c, kk, KK, train=False)
             fk = robot.get_keypoints_root(out["pose"], out["rot"],
                                           out["trans"], root=3)
-            return c + fk.mean().astype(c.dtype) * 1e-9, ()
-        c, _ = jax.lax.scan(body, x0, None, length=iters)
-        return c.mean()
+            return c + fk.mean().astype(c.dtype) * 1e-9
+        operands = (variables, k, K)
+    else:
+        xr = jnp.zeros((batch_size, root_size, root_size, 3), jnp.float32)
+
+        def step(c, v, xr_, kk, KK):
+            # tie to the carry or XLA hoists the rootnet branch
+            xr_i = xr_ + c.mean().astype(xr_.dtype) * 1e-9
+            out = model.apply(v, c, xr_i, kk, KK, train=False)
+            fk = robot.get_keypoints_root(out["pose"], out["rot"],
+                                          out["trans"], root=3)
+            return c + fk.mean().astype(c.dtype) * 1e-9
+        operands = (variables, xr, k, K)
 
     t0 = time.perf_counter()
-    np.asarray(chained(variables, x, k, K))  # compile + first run
-    print(f"# batch={batch_size} compile+run {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
-    # mean of two steady-state passes (round 1 was single-pass, round 2
-    # best-of-two; mean-of-two from round 3 on — a max mixes methodologies
-    # and biases the cross-round comparison high)
-    dts = []
-    for _ in range(2):
-        t0 = time.perf_counter()
-        np.asarray(chained(variables, x, k, K))
-        dts.append((time.perf_counter() - t0) / iters)
-    return batch_size / (sum(dts) / len(dts))
+    dt = chained_seconds(step, x, *operands, iters=iters, passes=2)
+    print(f"# batch={batch_size} measured in {time.perf_counter() - t0:.1f}s "
+          "(incl. compile)", file=sys.stderr)
+    return batch_size / dt
 
 
 def main():

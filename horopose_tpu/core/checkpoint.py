@@ -120,10 +120,14 @@ class BestCheckpointKeeper:
                 else metrics[name] < self.best[name]
             if improved:
                 self.best[name] = metrics[name]
-                save_checkpoint_file(
-                    self.paths[name], epoch=epoch, metric=metrics[name],
-                    state=state,
-                    extra=dict(lr_scheduler_last_epoch=np.int64(
-                        lr_last_epoch)))
+                # multi-host: every process tracks bests (identical,
+                # metrics are allgathered) but only process 0 writes files
+                from horopose_tpu.parallel.multihost import is_main_process
+                if is_main_process():
+                    save_checkpoint_file(
+                        self.paths[name], epoch=epoch, metric=metrics[name],
+                        state=state,
+                        extra=dict(lr_scheduler_last_epoch=np.int64(
+                            lr_last_epoch)))
                 saved.append(name)
         return saved

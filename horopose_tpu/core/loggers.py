@@ -41,11 +41,29 @@ class ScalarWriter:
             self._tb.close()
 
 
+class NullWriter:
+    """Scalar-writer no-op for non-main processes on multi-host pods:
+    every host computes identical epoch/val scalars (the metric inputs
+    are allgathered), so only process 0 writes TB/JSONL files."""
+
+    def add_scalar(self, tag: str, value, step: int):
+        pass
+
+    def close(self):
+        pass
+
+
 def create_logger(cfg, exp_root: str = "experiments"):
-    """experiments/{exp_name}/{ckpt,log}/ + config copy (utils.py:50-60)."""
+    """experiments/{exp_name}/{ckpt,log}/ + config copy (utils.py:50-60).
+
+    Multi-host: non-main processes get a NullWriter and skip the config
+    copy (the experiment dir may be a shared filesystem)."""
+    from horopose_tpu.parallel.multihost import is_main_process
     save_folder = os.path.join(exp_root, cfg.exp_name)
     ckpt_folder = os.path.join(save_folder, "ckpt")
     log_folder = os.path.join(save_folder, "log")
+    if not is_main_process():
+        return save_folder, ckpt_folder, log_folder, NullWriter()
     os.makedirs(ckpt_folder, exist_ok=True)
     os.makedirs(log_folder, exist_ok=True)
     writer = ScalarWriter(log_folder)

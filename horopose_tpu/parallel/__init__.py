@@ -2,4 +2,10 @@
 
 from horopose_tpu.parallel.mesh import (make_mesh, shard_batch,  # noqa: F401
                                         replicate, data_sharding,
-                                        image_sharding, shard_images)
+                                        image_sharding, shard_images,
+                                        train_mesh)
+from horopose_tpu.parallel.multihost import (maybe_initialize,  # noqa: F401
+                                             process_count, process_index,
+                                             is_main_process,
+                                             local_batch_size,
+                                             DistributedSampler, to_host)

@@ -43,6 +43,26 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), axis_names=axis_names)
 
 
+def train_mesh(cfg) -> Optional[Mesh]:
+    """The trainers' mesh policy: cfg.mesh_shape when set; on multi-process
+    runtimes default to ALL global devices (training without a mesh there
+    would silently run per-process model replicas that diverge); None
+    (plain single-device jit) otherwise."""
+    if getattr(cfg, "mesh_shape", None):
+        mesh = make_mesh(int(np.prod(cfg.mesh_shape)))
+    elif jax.process_count() > 1:
+        mesh = make_mesh()
+    else:
+        return None
+    bs = int(getattr(cfg, "batch_size", 0) or 0)
+    n = int(mesh.devices.size)
+    if bs and bs % n:
+        raise ValueError(
+            f"batch_size {bs} (global) must divide evenly over the "
+            f"{n}-device data mesh; raise batch_size or shrink mesh_shape")
+    return mesh
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Shard axis 0 over the data axis (replicated if the mesh has none —
     e.g. a pure-'spatial' latency mesh)."""
@@ -68,8 +88,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a (nested dict) numpy batch with axis 0 sharded."""
+    """Place a (nested dict) numpy batch with axis 0 sharded over 'data'.
+
+    Contract: `batch` is THIS PROCESS'S shard — the full batch when
+    single-process, `local_batch_size(cfg.batch_size)` rows per host on a
+    multi-process pod (parallel/multihost.py). In the multi-process case
+    the local rows are assembled into one global jax.Array via
+    jax.make_array_from_process_local_data; the jitted step sees the same
+    global (B, ...) it sees on one host."""
     sharding = data_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

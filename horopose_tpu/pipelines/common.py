@@ -200,6 +200,17 @@ def get_dataloaders(cfg) -> Dict:
             f"no DREAM samples (*.jpg + *.json) found under {train_path!r}; "
             "set HOROPOSE_DATA_DIR or fix train_ds_names in the config")
     sampler = PartialSampler(ds_train, cfg.epoch_size)
+    # multi-host pods: cfg.batch_size stays GLOBAL; each process loads its
+    # rank-strided slice of the same permutation and 1/N of every batch
+    # (parallel/multihost.py; shard_batch assembles the global arrays)
+    from horopose_tpu.parallel.multihost import (DistributedSampler,
+                                                 local_batch_size,
+                                                 process_count,
+                                                 process_index)
+    n_proc = process_count()
+    batch_size = local_batch_size(cfg.batch_size)
+    # distinct augmentation streams per host (workers reseed from this)
+    worker_seed = 808 + 100_000 * process_index()
     if cfg.get("resample"):
         # weighted resampling (train_depthnet.py:62-64); weights file is a
         # user-supplied artifact
@@ -212,10 +223,12 @@ def get_dataloaders(cfg) -> Dict:
         else:
             print(f"[data] resample=True but {weights_path} missing; "
                   "falling back to uniform sampling")
-    out["train"] = DataLoader(ds_train, batch_size=cfg.batch_size,
+    if n_proc > 1:
+        sampler = DistributedSampler(sampler)
+    out["train"] = DataLoader(ds_train, batch_size=batch_size,
                               sampler=sampler,
                               num_workers=cfg.n_dataloader_workers,
-                              drop_last=True)
+                              drop_last=True, worker_seed=worker_seed)
     out["train_dataset"] = ds_train
 
     candidates = {"dr": train_path.replace("train_dr", "test_dr")}
@@ -232,7 +245,15 @@ def get_dataloaders(cfg) -> Dict:
                 os.path.abspath(train_path):
             ds = _mk_dataset(cfg, path, train=False)
             if len(ds):
+                # multi-process eval: rank-strided with wrap-around padding
+                # so every process runs the SAME number of eval batches
+                # (the validate loops' to_host allgathers are collectives)
+                eval_sampler = None
+                if n_proc > 1:
+                    from horopose_tpu.data.samplers import ListSampler
+                    eval_sampler = DistributedSampler(
+                        ListSampler(range(len(ds))), pad=True)
                 out["test"][name] = DataLoader(
-                    ds, batch_size=cfg.batch_size,
+                    ds, batch_size=batch_size, sampler=eval_sampler,
                     num_workers=cfg.n_dataloader_workers, drop_last=False)
     return out

@@ -25,8 +25,9 @@ from horopose_tpu.core.engine import (build_depthnet_eval_step,
                                       create_train_state, make_optimizer)
 from horopose_tpu.core.loggers import (AverageMeter, DeviceLogAccumulator,
                                        create_logger)
+from horopose_tpu.data.samplers import pad_batch
 from horopose_tpu.models.depth_net import RootNet
-from horopose_tpu.parallel import make_mesh, shard_batch
+from horopose_tpu.parallel import shard_batch, to_host, train_mesh
 from horopose_tpu.pipelines.common import (apply_pretrained_backbone,
                                            get_dataloaders, set_seed)
 
@@ -59,9 +60,7 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
             state, cfg.backbone_pretrained, cfg.backbone_name, dst_key,
             tag="/depthnet")
 
-    mesh = None
-    if cfg.mesh_shape:
-        mesh = make_mesh(int(np.prod(cfg.mesh_shape)))
+    mesh = train_mesh(cfg)
 
     keeper = BestCheckpointKeeper(ckpt_folder, cfg.urdf_robot_name,
                                   template="curr_best_root_depth"
@@ -83,11 +82,21 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
         loss_meter = AverageMeter()
         errors = []
         for batch in loader:
+            valid = None
             if mesh is not None:
+                # pad the final partial batch to shard over the data axis;
+                # the mask keeps padded rows out of the error statistics
+                batch, n_valid = pad_batch(batch, loader.batch_size)
+                batch["_valid"] = (np.arange(loader.batch_size) <
+                                   n_valid).astype(np.float32)
                 batch = shard_batch(batch, mesh)
+                valid = to_host(batch["_valid"]).astype(bool)
             out = eval_step(state, batch)
             loss_meter.add(float(out["loss"]))
-            errors.extend(np.asarray(out["error_depth"]).tolist())
+            # to_host: allgathers per-sample errors across hosts on pods
+            err = to_host(out["error_depth"])
+            errors.extend((err[valid] if valid is not None
+                           else err).tolist())
         mean_err = float(np.mean(errors)) if errors else float("inf")
         writer.add_scalar(f"Val/rootz_loss_{name}", loss_meter.mean, epoch)
         writer.add_scalar(f"Val/mean_depth_error_{name}", mean_err, epoch)

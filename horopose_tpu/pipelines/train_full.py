@@ -26,7 +26,8 @@ from horopose_tpu.core.loggers import (AverageMeter, DeviceLogAccumulator,
                                        create_logger)
 from horopose_tpu.core.metrics import (ADD_THRESHOLDS_MM, PCK_THRESHOLDS_PX,
                                        compute_metrics_batch, summary_add_pck)
-from horopose_tpu.parallel import make_mesh, shard_batch
+from horopose_tpu.data.samplers import pad_batch
+from horopose_tpu.parallel import shard_batch, to_host, train_mesh
 from horopose_tpu.pipelines.common import (apply_pretrained_backbone,
                                            build_fullnet, get_dataloaders,
                                            make_pnp_fn, make_robot,
@@ -109,14 +110,28 @@ def validate_full(cfg, robot, eval_step, state, loader, writer, epoch,
 
     for batch in loader:
         if mesh is not None:
+            # the final partial batch cannot shard over the data axis;
+            # pad to the full (local) batch by repeating the last row and
+            # carry a validity mask so padded rows stay out of the metrics
+            batch, n_valid = pad_batch(batch, loader.batch_size)
+            batch["_valid"] = (np.arange(loader.batch_size) <
+                               n_valid).astype(np.float32)
             batch = shard_batch(batch, mesh)
         preds, gts, logs = eval_step(state, batch)
         for t in meters:
             meters[t].add(float(logs[t]))
-        np_preds = {k: np.asarray(v) for k, v in preds.items()}
-        np_gts = {k: np.asarray(v) for k, v in gts.items()}
-        K_orig = np.asarray(batch["K_original"], np.float32)
-        kp2d_orig = np.asarray(batch["keypoints_2d_original"], np.float32)
+        # to_host (not np.asarray): on multi-host pods the preds are
+        # batch-sharded across processes and must be allgathered so the
+        # host-side metric battery sees the full global batch
+        np_preds = to_host(preds)
+        np_gts = to_host(gts)
+        K_orig = to_host(batch["K_original"]).astype(np.float32)
+        kp2d_orig = to_host(batch["keypoints_2d_original"]).astype(np.float32)
+        if mesh is not None:
+            valid = to_host(batch["_valid"]).astype(bool)
+            np_preds = {k: v[valid] for k, v in np_preds.items()}
+            np_gts = {k: v[valid] for k, v in np_gts.items()}
+            K_orig, kp2d_orig = K_orig[valid], kp2d_orig[valid]
         m_fk = compute_metrics_batch(
             robot=robot, gt_keypoints3d=np_gts["gt_keypoints3d"],
             gt_keypoints2d=kp2d_orig, K_original=K_orig,
@@ -195,7 +210,7 @@ def train_full(cfg, max_epochs=None, max_steps_per_epoch=None):
     tx = make_optimizer(cfg, steps_per_epoch)
     state, rng = init_fullnet_state(cfg, model, tx)
 
-    mesh = make_mesh(int(np.prod(cfg.mesh_shape))) if cfg.mesh_shape else None
+    mesh = train_mesh(cfg)
 
     keeper = BestCheckpointKeeper(ckpt_folder, cfg.urdf_robot_name)
     start_epoch = 0

@@ -42,7 +42,7 @@ from horopose_tpu.kinematics.meshes import (build_robot_mesh,
                                             check_mesh_fidelity)
 from horopose_tpu.ops.rasterizer import (render_robot_silhouette,
                                          resolve_faces_per_tile)
-from horopose_tpu.parallel import make_mesh, shard_batch
+from horopose_tpu.parallel import make_mesh, shard_batch, train_mesh
 from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
                                            make_pnp_fn, make_robot,
                                            set_seed)
@@ -253,6 +253,15 @@ def _render_tracked_views(cfg, robot, robot_mesh, seg_teacher, eval_step,
 
 def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                    seg_teacher=None):
+    import jax as _jax
+    if _jax.process_count() > 1:
+        # stage 3's pseudo-mask/tracking loops run host-local jits that
+        # cannot mix with the globally-replicated train state; the real
+        # datasets are ~few-k images, so one host is the right scale.
+        # Multi-host training covers stages 1-2 (parallel/multihost.py).
+        raise NotImplementedError(
+            "sim2real fine-tuning is single-host; run it without "
+            "HOROPOSE_DISTRIBUTED / HOROPOSE_COORDINATOR")
     set_seed()
     save_folder, ckpt_folder, _, writer = create_logger(cfg)
     robot = make_robot(cfg)
@@ -342,7 +351,7 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
 
     # data-parallel mesh, same knob as train_full/train_depthnet: batch
     # (incl. the teacher's full-res images) sharded, params replicated by jit
-    mesh = make_mesh(int(np.prod(cfg.mesh_shape))) if cfg.mesh_shape else None
+    mesh = train_mesh(cfg)
 
     n_epochs = max_epochs if max_epochs is not None else cfg.n_epochs
     # worst-case tracking views, picked ONCE before training (reference:

@@ -21,6 +21,10 @@ def main():
     parser.add_argument("--config", type=str, required=True,
                         help="path to the experiment YAML")
     args = parser.parse_args()
+    # multi-host pods: must run before anything touches jax devices
+    # (no-op unless HOROPOSE_DISTRIBUTED / HOROPOSE_COORDINATOR is set)
+    from horopose_tpu.parallel.multihost import maybe_initialize
+    maybe_initialize()
     cfg = make_cfg(args.config)
     print(f"use config file: {args.config}")
     print(f"experiment: {cfg.exp_name}")
