@@ -54,8 +54,16 @@ def train_mesh(cfg) -> Optional[Mesh]:
         mesh = make_mesh()
     else:
         return None
-    bs = int(getattr(cfg, "batch_size", 0) or 0)
     n = int(mesh.devices.size)
+    if jax.process_count() > 1 and n != len(jax.devices()):
+        # a partial mesh on a pod excludes some hosts' devices: excluded
+        # ranks crash opaquely while included ranks silently train on a
+        # fraction of the batch (each process still loads 1/N of it)
+        raise ValueError(
+            f"on a {jax.process_count()}-process run, mesh_shape "
+            f"{cfg.mesh_shape} covers {n} of {len(jax.devices())} global "
+            "devices; set mesh_shape to all devices (or omit it)")
+    bs = int(getattr(cfg, "batch_size", 0) or 0)
     if bs and bs % n:
         raise ValueError(
             f"batch_size {bs} (global) must divide evenly over the "

@@ -40,8 +40,9 @@ __all__ = [
 def maybe_initialize(verbose: bool = True) -> bool:
     """Initialize jax.distributed from env knobs; no-op without them.
 
-    Must run before anything touches jax devices (scripts/train.py and
-    scripts/test.py call it first thing). Two activation modes:
+    Must run before anything touches jax devices (scripts/train.py calls
+    it first thing; evaluation — scripts/test.py — is single-host by
+    design, like sim2real). Two activation modes:
 
       HOROPOSE_COORDINATOR=host:port HOROPOSE_NUM_PROCESSES=N
       HOROPOSE_PROCESS_ID=i     explicit coordinator (CPU clusters, tests)

@@ -92,7 +92,10 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
                 batch = shard_batch(batch, mesh)
                 valid = to_host(batch["_valid"]).astype(bool)
             out = eval_step(state, batch)
-            loss_meter.add(float(out["loss"]))
+            # weight by real rows: a padded final batch duplicates its
+            # last row into the batch-mean loss (see validate_full)
+            loss_meter.add(float(out["loss"]),
+                           n=int(valid.sum()) if valid is not None else 1)
             # to_host: allgathers per-sample errors across hosts on pods
             err = to_host(out["error_depth"])
             errors.extend((err[valid] if valid is not None

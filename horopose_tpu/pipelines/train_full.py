@@ -118,8 +118,15 @@ def validate_full(cfg, robot, eval_step, state, loader, writer, epoch,
                                n_valid).astype(np.float32)
             batch = shard_batch(batch, mesh)
         preds, gts, logs = eval_step(state, batch)
+        valid = (to_host(batch["_valid"]).astype(bool)
+                 if mesh is not None else None)
+        # a padded final batch duplicates its last row into the batch-mean
+        # loss scalars; weighting by real rows keeps its influence on the
+        # epoch mean proportional (no-mesh path keeps the reference's
+        # equal-batch weighting)
+        n_w = int(valid.sum()) if valid is not None else 1
         for t in meters:
-            meters[t].add(float(logs[t]))
+            meters[t].add(float(logs[t]), n=n_w)
         # to_host (not np.asarray): on multi-host pods the preds are
         # batch-sharded across processes and must be allgathered so the
         # host-side metric battery sees the full global batch
@@ -127,8 +134,7 @@ def validate_full(cfg, robot, eval_step, state, loader, writer, epoch,
         np_gts = to_host(gts)
         K_orig = to_host(batch["K_original"]).astype(np.float32)
         kp2d_orig = to_host(batch["keypoints_2d_original"]).astype(np.float32)
-        if mesh is not None:
-            valid = to_host(batch["_valid"]).astype(bool)
+        if valid is not None:
             np_preds = {k: v[valid] for k, v in np_preds.items()}
             np_gts = {k: v[valid] for k, v in np_gts.items()}
             K_orig, kp2d_orig = K_orig[valid], kp2d_orig[valid]

@@ -42,7 +42,7 @@ from horopose_tpu.kinematics.meshes import (build_robot_mesh,
                                             check_mesh_fidelity)
 from horopose_tpu.ops.rasterizer import (render_robot_silhouette,
                                          resolve_faces_per_tile)
-from horopose_tpu.parallel import make_mesh, shard_batch, train_mesh
+from horopose_tpu.parallel import shard_batch, train_mesh
 from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
                                            make_pnp_fn, make_robot,
                                            set_seed)
@@ -253,8 +253,7 @@ def _render_tracked_views(cfg, robot, robot_mesh, seg_teacher, eval_step,
 
 def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
                    seg_teacher=None):
-    import jax as _jax
-    if _jax.process_count() > 1:
+    if jax.process_count() > 1:
         # stage 3's pseudo-mask/tracking loops run host-local jits that
         # cannot mix with the globally-replicated train state; the real
         # datasets are ~few-k images, so one host is the right scale.
