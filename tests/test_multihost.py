@@ -88,6 +88,29 @@ def test_train_mesh_policy():
     assert train_mesh(cfg).devices.size == 8
 
 
+def test_train_mesh_rejects_indivisible_batch():
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.parallel import train_mesh
+    cfg = make_default_cfg()
+    cfg.mesh_shape = [8]
+    cfg.batch_size = 12  # 12 % 8 != 0
+    with pytest.raises(ValueError, match="divide evenly"):
+        train_mesh(cfg)
+
+
+def test_train_mesh_rejects_partial_pod_mesh(monkeypatch):
+    """A stale single-host mesh_shape reused on a pod must fail fast:
+    excluded ranks crash opaquely while included ranks silently train on a
+    fraction of each batch."""
+    from horopose_tpu.config import make_default_cfg
+    from horopose_tpu.parallel import train_mesh
+    monkeypatch.setattr("jax.process_count", lambda: 2)
+    cfg = make_default_cfg()
+    cfg.mesh_shape = [2]  # 2 of the 8 global devices
+    with pytest.raises(ValueError, match="covers 2 of 8"):
+        train_mesh(cfg)
+
+
 def test_null_writer_gating(tmp_path, monkeypatch):
     """Non-main processes must not write logs or config copies."""
     import horopose_tpu.core.loggers as loggers
