@@ -146,6 +146,7 @@ def main():
     # PERF_NOTES.md "the fast path is a config, not a kernel") — reported
     # as an extra field, the headline stays the paper-flagship hrnet32
     fast = 0.0
+    composed = 0.0
     try:
         model_f, robot_f, variables_f = build(dtype,
                                               rootnet_backbone="resnet50")
@@ -153,6 +154,12 @@ def main():
                        iters=args.iters)
         print(f"# fast path (resnet50 rootnet) batch={best_bs or 128}: "
               f"{fast:.1f} img/s", file=sys.stderr)
+        # both levers composed: resnet50 rootnet AND 128 rootnet crop —
+        # the fastest serving config inside the reference's model space
+        composed = measure(model_f, robot_f, variables_f, best_bs or 128,
+                           iters=args.iters, root_size=128)
+        print(f"# composed lever (resnet50 rootnet @128 crop): "
+              f"{composed:.1f} img/s", file=sys.stderr)
     except Exception as e:
         print(f"# fast-path bench failed: {e}", file=sys.stderr)
     print(json.dumps({
@@ -164,6 +171,7 @@ def main():
         "dtype": "bfloat16",
         "fast_path_resnet50_rootnet": round(fast, 1),
         "rootnet_crop128_lever": round(lever, 1),
+        "composed_lever_resnet50_crop128": round(composed, 1),
     }))
 
 
