@@ -14,9 +14,12 @@ import sys
 rank = int(sys.argv[1])
 count = int(sys.argv[2])
 port = sys.argv[3]
+mode = sys.argv[4] if len(sys.argv) > 4 else "train"
+local_devices = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = (f"--xla_force_host_platform_device_count="
+                           f"{local_devices}")
 os.environ["HOROPOSE_COORDINATOR"] = f"localhost:{port}"
 os.environ["HOROPOSE_NUM_PROCESSES"] = str(count)
 os.environ["HOROPOSE_PROCESS_ID"] = str(rank)
@@ -39,10 +42,27 @@ from horopose_tpu.parallel import (DistributedSampler,  # noqa: E402
 assert maybe_initialize(), "env knobs set, initialize must fire"
 assert jax.process_count() == count, jax.process_count()
 assert jax.process_index() == rank, jax.process_index()
-assert len(jax.local_devices()) == 4
-assert len(jax.devices()) == 4 * count
+assert len(jax.local_devices()) == local_devices
+assert len(jax.devices()) == local_devices * count
 
 import numpy as np  # noqa: E402
+
+if mode == "light":
+    # no model, no heavy compile: verify global-batch ASSEMBLY ORDER —
+    # per-rank contiguous rows must land at [rank*lb, (rank+1)*lb) of the
+    # global array — plus a global jitted reduction and the to_host
+    # allgather, on whatever (count x local_devices) topology the parent
+    # chose
+    mesh = make_mesh()
+    B = len(jax.devices())
+    lb = local_batch_size(B)
+    local = (rank * lb + np.arange(lb)).astype(np.float32).reshape(lb, 1)
+    g = shard_batch({"x": local}, mesh)["x"]
+    assert g.shape == (B, 1), g.shape
+    total = float(jax.jit(lambda a: a.sum())(g))
+    gathered = to_host(g)[:, 0].tolist()
+    print(json.dumps(dict(rank=rank, total=total, gathered=gathered)))
+    sys.exit(0)
 from test_sharding_equivalence import _fake_batch, _setup  # noqa: E402
 
 from horopose_tpu.data.samplers import ListSampler  # noqa: E402

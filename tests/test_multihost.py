@@ -134,6 +134,40 @@ def _free_port():
     return port
 
 
+def _worker_env():
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "JAX_PLATFORMS")
+           and not k.startswith("HOROPOSE_")}
+    env["PYTHONUNBUFFERED"] = "1"
+    return env
+
+
+def test_four_process_global_batch_assembly():
+    """4 processes x 2 devices: shard_batch's per-rank contiguous rows must
+    land at [rank*lb, (rank+1)*lb) of the global array, the jitted global
+    reduction must see every row, and to_host must allgather identically on
+    every rank. Light worker mode — no model, runs in seconds."""
+    port = _free_port()
+    worker = os.path.join(REPO, "tests", "_multihost_worker.py")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(r), "4", str(port), "light", "2"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=_worker_env(), cwd=REPO) for r in range(4)]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{err[-4000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+    for o in outs:
+        assert o["gathered"] == [float(i) for i in range(8)], o
+        assert o["total"] == float(sum(range(8))), o
+
+
 @pytest.mark.slow
 def test_two_process_train_step_matches_single_process():
     port = _free_port()
