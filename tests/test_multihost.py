@@ -126,6 +126,31 @@ def test_null_writer_gating(tmp_path, monkeypatch):
     assert not os.path.exists(log_folder), "non-main must not create logs"
 
 
+def test_maybe_initialize_env_modes(monkeypatch):
+    """Explicit coordinator env -> initialize(addr, N, i); auto mode ->
+    bare initialize(); no env -> no-op returning False."""
+    from horopose_tpu.parallel.multihost import maybe_initialize
+    calls = []
+    monkeypatch.setattr("jax.distributed.initialize",
+                        lambda *a, **kw: calls.append((a, kw)))
+    for var in ("HOROPOSE_COORDINATOR", "HOROPOSE_NUM_PROCESSES",
+                "HOROPOSE_PROCESS_ID", "HOROPOSE_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+    assert maybe_initialize(verbose=False) is False and not calls
+
+    monkeypatch.setenv("HOROPOSE_COORDINATOR", "node0:1234")
+    monkeypatch.setenv("HOROPOSE_NUM_PROCESSES", "4")
+    monkeypatch.setenv("HOROPOSE_PROCESS_ID", "2")
+    assert maybe_initialize(verbose=False) is True
+    assert calls.pop() == ((), dict(coordinator_address="node0:1234",
+                                    num_processes=4, process_id=2))
+
+    monkeypatch.delenv("HOROPOSE_COORDINATOR")
+    monkeypatch.setenv("HOROPOSE_DISTRIBUTED", "auto")
+    assert maybe_initialize(verbose=False) is True
+    assert calls.pop() == ((), {})
+
+
 def _free_port():
     s = socket.socket()
     s.bind(("localhost", 0))
