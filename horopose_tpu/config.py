@@ -198,6 +198,10 @@ def make_default_cfg() -> AttrDict:
     #                                epoch 1 fills, later epochs skip decode
     cfg.decode_cache_dir = ""      # cache root; "" = HOROPOSE_CACHE_DIR env
     #                                or <dataset_dir>/.decode_cache
+    cfg.prefetch_batches = 2       # train loops stage this many batches
+    #                                onto device ahead of the step (async
+    #                                device_put overlaps host->device
+    #                                transfer with compute); 0 disables
     cfg.raster_faces_per_tile = "auto"  # sim2real rasterizer tile budget:
     #                                "auto" = measured-best per mesh size
     #                                (ops/rasterizer.resolve_faces_per_tile),

@@ -112,6 +112,40 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def prefetch_to_device(iterator, mesh: Optional[Mesh] = None, size: int = 2):
+    """Stage loader batches onto device `size` steps ahead of consumption.
+
+    device_put / make_array_from_process_local_data are asynchronous under
+    PJRT: issuing the NEXT batches' host->device transfers while the
+    current step executes overlaps input staging with compute instead of
+    serializing them at the jitted call boundary (the reference's loop
+    pays exactly this serialization via per-batch `.cuda()` casts,
+    /root/reference/lib/core/function.py:27-40). With a mesh the batch is
+    placed batch-sharded over 'data' (shard_batch); without one the leaves
+    are device_put whole. size=0/None disables (yields batches untouched,
+    the trainers' cfg.prefetch_batches=0 escape hatch); size extra batches
+    live on device (~25 MB each at the flagship b64).
+    """
+    if not size:
+        yield from iterator
+        return
+    from collections import deque
+
+    if mesh is not None:
+        stage = lambda b: shard_batch(b, mesh)  # noqa: E731
+    else:
+        dev = jax.devices()[0]
+        stage = lambda b: jax.tree.map(  # noqa: E731
+            lambda x: jax.device_put(x, dev), b)
+    queue = deque()
+    for b in iterator:
+        queue.append(stage(b))
+        if len(queue) > size:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def shard_images(x, mesh: Mesh):
     """Device-put an image batch with B over 'data' and H over 'spatial'
     (whichever axes the mesh has; see image_sharding). Each axis falls

@@ -55,6 +55,14 @@ def maybe_initialize(verbose: bool = True) -> bool:
     """
     coord = os.environ.get("HOROPOSE_COORDINATOR")
     if coord:
+        missing = [k for k in ("HOROPOSE_NUM_PROCESSES", "HOROPOSE_PROCESS_ID")
+                   if k not in os.environ]
+        if missing:
+            verb = "is" if len(missing) == 1 else "are"
+            raise ValueError(
+                f"HOROPOSE_COORDINATOR is set but {' and '.join(missing)} "
+                f"{verb} missing; all three are required for "
+                "explicit-coordinator mode")
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["HOROPOSE_NUM_PROCESSES"]),
@@ -104,9 +112,11 @@ class DistributedSampler:
     exactly the same number of indices — a process with one extra batch
     would leave the others deadlocked in the step's collectives. With
     pad=True (eval) the tail wraps around to the start of the epoch
-    instead, so no sample is dropped (torch DistributedSampler
-    semantics); the <count duplicated samples bias eval means by at most
-    count/len.
+    instead — repeating the whole epoch as many times as needed when the
+    set is smaller than one global batch of indices — so no sample is
+    dropped and EVERY rank always yields exactly len(self) indices
+    (torch DistributedSampler semantics); the duplicated samples bias
+    eval means by at most count/len.
     """
 
     def __init__(self, base, rank: int = None, count: int = None,
@@ -126,8 +136,13 @@ class DistributedSampler:
         ids = list(iter(self.base))
         per_rank = len(self)
         total = per_rank * self.count
-        if self.pad and len(ids) < total:
-            ids = ids + ids[:total - len(ids)]
+        if self.pad and 0 < len(ids) < total:
+            # Repeat the whole epoch, not just a single wrap: with
+            # len(ids) < total/2 (tiny eval set, many ranks) one wrap
+            # leaves trailing ranks short (or empty), and their missing
+            # batches would deadlock the validate loops' to_host
+            # allgather collectives on a pod.
+            ids = (ids * (-(-total // len(ids))))[:total]
         return iter(ids[self.rank:total:self.count])
 
 

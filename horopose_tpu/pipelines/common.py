@@ -229,6 +229,13 @@ def get_dataloaders(cfg) -> Dict:
                               sampler=sampler,
                               num_workers=cfg.n_dataloader_workers,
                               drop_last=True, worker_seed=worker_seed)
+    if len(out["train"]) == 0:
+        # drop_last + a sampler shorter than one batch = silent no-op
+        # epochs (loss meters log 0.0); name the cause loudly
+        print(f"[data] WARNING: zero train batches per epoch — sampler "
+              f"yields {len(sampler)} indices (epoch_size={cfg.epoch_size}, "
+              f"dataset={len(ds_train)}) < batch_size {batch_size}; "
+              "every epoch will be a no-op")
     out["train_dataset"] = ds_train
 
     candidates = {"dr": train_path.replace("train_dr", "test_dr")}

@@ -234,10 +234,14 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
             batch = shard_batch(batch, mesh)
         t0 = time.time()
         preds, gts, logs = eval_step(state, batch)
-        preds = {k: np.asarray(v) for k, v in preds.items()}
-        gts = {k: np.asarray(v) for k, v in gts.items()}
-        K_orig = np.asarray(batch["K_original"], np.float32)
-        kp2d_orig = np.asarray(batch["keypoints_2d_original"], np.float32)
+        # drop padded duplicate rows BEFORE the metric battery so batch-mean
+        # outputs (e.g. batch_l1jointerror_avg feeding the per-joint meters)
+        # see only real samples, matching the reference's unpadded batches
+        preds = {k: np.asarray(v)[:n_valid] for k, v in preds.items()}
+        gts = {k: np.asarray(v)[:n_valid] for k, v in gts.items()}
+        K_orig = np.asarray(batch["K_original"], np.float32)[:n_valid]
+        kp2d_orig = np.asarray(batch["keypoints_2d_original"],
+                               np.float32)[:n_valid]
         m_fk = compute_metrics_batch(
             robot=robot, gt_keypoints3d=gts["gt_keypoints3d"],
             gt_keypoints2d=kp2d_orig, K_original=K_orig,
@@ -258,7 +262,7 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
         from horopose_tpu.ops.transforms import project_points as _pp
         import jax.numpy as _jnp
         kp2_int = np.asarray(_pp(_jnp.asarray(
-            np.asarray(batch["other"]["K"], np.float32)),
+            np.asarray(batch["other"]["K"], np.float32)[:n_valid]),
             _jnp.asarray(preds["xyz_int"])))[sl]
         vm_crop = np.asarray(batch["other"]["valid_mask_crop"],
                              np.float32)[sl]

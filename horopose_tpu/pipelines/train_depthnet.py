@@ -27,7 +27,8 @@ from horopose_tpu.core.loggers import (AverageMeter, DeviceLogAccumulator,
                                        create_logger)
 from horopose_tpu.data.samplers import pad_batch
 from horopose_tpu.models.depth_net import RootNet
-from horopose_tpu.parallel import shard_batch, to_host, train_mesh
+from horopose_tpu.parallel import (prefetch_to_device, shard_batch, to_host,
+                                   train_mesh)
 from horopose_tpu.pipelines.common import (apply_pretrained_backbone,
                                            get_dataloaders, set_seed)
 
@@ -92,8 +93,9 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
                 batch = shard_batch(batch, mesh)
                 valid = to_host(batch["_valid"]).astype(bool)
             out = eval_step(state, batch)
-            # weight by real rows: a padded final batch duplicates its
-            # last row into the batch-mean loss (see validate_full)
+            # the eval step computes a masked mean over `_valid` (exact
+            # unpadded-batch loss); weighting by real rows makes the
+            # epoch mean exact too (see validate_full)
             loss_meter.add(float(out["loss"]),
                            n=int(valid.sum()) if valid is not None else 1)
             # to_host: allgathers per-sample errors across hosts on pods
@@ -109,11 +111,13 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
     for epoch in range(start_epoch, n_epochs):
         # one host sync per 100 steps, not one per batch (DeviceLogAccumulator)
         acc = DeviceLogAccumulator(flush_every=100)
-        for batchid, batch in enumerate(train_loader):
+        # stage batches onto device ahead of the step (transfer/compute
+        # overlap; parallel.prefetch_to_device)
+        staged = prefetch_to_device(train_loader, mesh,
+                                    int(cfg.get("prefetch_batches", 2) or 0))
+        for batchid, batch in enumerate(staged):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
             acc.push(logs)

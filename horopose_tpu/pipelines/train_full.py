@@ -27,7 +27,8 @@ from horopose_tpu.core.loggers import (AverageMeter, DeviceLogAccumulator,
 from horopose_tpu.core.metrics import (ADD_THRESHOLDS_MM, PCK_THRESHOLDS_PX,
                                        compute_metrics_batch, summary_add_pck)
 from horopose_tpu.data.samplers import pad_batch
-from horopose_tpu.parallel import shard_batch, to_host, train_mesh
+from horopose_tpu.parallel import (prefetch_to_device, shard_batch, to_host,
+                                   train_mesh)
 from horopose_tpu.pipelines.common import (apply_pretrained_backbone,
                                            build_fullnet, get_dataloaders,
                                            make_pnp_fn, make_robot,
@@ -120,10 +121,10 @@ def validate_full(cfg, robot, eval_step, state, loader, writer, epoch,
         preds, gts, logs = eval_step(state, batch)
         valid = (to_host(batch["_valid"]).astype(bool)
                  if mesh is not None else None)
-        # a padded final batch duplicates its last row into the batch-mean
-        # loss scalars; weighting by real rows keeps its influence on the
-        # epoch mean proportional (no-mesh path keeps the reference's
-        # equal-batch weighting)
+        # the eval step computes masked means over `_valid`, so a padded
+        # final batch logs exactly the unpadded batch's loss; weighting the
+        # meter by real rows then makes the epoch mean exact too (no-mesh
+        # path keeps the reference's equal-batch weighting)
         n_w = int(valid.sum()) if valid is not None else 1
         for t in meters:
             meters[t].add(float(logs[t]), n=n_w)
@@ -241,11 +242,13 @@ def train_full(cfg, max_epochs=None, max_steps_per_epoch=None):
         # device-side log accumulation: one host sync per 100 steps (the TB
         # cadence), not one per batch — see DeviceLogAccumulator
         acc = DeviceLogAccumulator(flush_every=100)
-        for batchid, batch in enumerate(train_loader):
+        # batches are staged onto device ahead of the step so the
+        # host->device transfer overlaps compute (parallel.prefetch_to_device)
+        staged = prefetch_to_device(train_loader, mesh,
+                                    int(cfg.get("prefetch_batches", 2) or 0))
+        for batchid, batch in enumerate(staged):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
             acc.push(logs)

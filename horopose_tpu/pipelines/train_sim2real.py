@@ -42,7 +42,7 @@ from horopose_tpu.kinematics.meshes import (build_robot_mesh,
                                             check_mesh_fidelity)
 from horopose_tpu.ops.rasterizer import (render_robot_silhouette,
                                          resolve_faces_per_tile)
-from horopose_tpu.parallel import shard_batch, train_mesh
+from horopose_tpu.parallel import prefetch_to_device, train_mesh
 from horopose_tpu.pipelines.common import (build_fullnet, get_dataloaders,
                                            make_pnp_fn, make_robot,
                                            set_seed)
@@ -370,11 +370,13 @@ def train_sim2real(cfg, max_epochs=None, max_steps_per_epoch=None,
     for epoch in range(start_epoch, n_epochs):
         # one host sync per 10 steps (the TB cadence here), not per batch
         acc = DeviceLogAccumulator(flush_every=10)
-        for batchid, batch in enumerate(train_loader):
+        # stage batches onto device ahead of the step (transfer/compute
+        # overlap; parallel.prefetch_to_device)
+        staged = prefetch_to_device(train_loader, mesh,
+                                    int(cfg.get("prefetch_batches", 2) or 0))
+        for batchid, batch in enumerate(staged):
             if max_steps_per_epoch and batchid >= max_steps_per_epoch:
                 break
-            if mesh is not None:
-                batch = shard_batch(batch, mesh)
             rng, step_rng = jax.random.split(rng)
             state, logs = train_step(state, batch, step_rng)
             acc.push({t: logs[t] for t in _S2R_TAGS})

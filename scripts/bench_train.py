@@ -94,12 +94,14 @@ def run_pipeline_mode(args, cfg, robot, model):
     step = build_full_train_step(cfg, model, robot, tx)
 
     def one_epoch(state, rng):
+        from horopose_tpu.parallel import prefetch_to_device
         acc = DeviceLogAccumulator(flush_every=100)
         n = 0
         t0 = time.perf_counter()
-        for batch in loaders["train"]:
+        # the trainers' actual input path: device staging 2 batches ahead
+        for batch in prefetch_to_device(loaders["train"], mesh=None, size=2):
             rng, sub = jax.random.split(rng)
-            state, logs = step(state, jax.tree.map(jnp.asarray, batch), sub)
+            state, logs = step(state, batch, sub)
             acc.push(logs)
             n += args.batch_size
         acc.flush()
@@ -166,12 +168,23 @@ def run_prestaged_mode(args, cfg, robot, model):
     resident_batch = jax.tree.map(jnp.asarray, batches[0])
     jax.block_until_ready(resident_batch)
 
-    def one_epoch(state, rng, staged):
+    def one_epoch(state, rng, mode):
+        from horopose_tpu.parallel import prefetch_to_device
         acc = DeviceLogAccumulator(flush_every=100)
         t0 = time.perf_counter()
-        for batch in batches:
-            db = (jax.tree.map(jnp.asarray, batch) if staged
-                  else resident_batch)
+        if mode == "prefetched":
+            # the trainers' actual input path since round 5: batches staged
+            # onto device 2 steps ahead so transfers overlap compute
+            it = prefetch_to_device(iter(batches), mesh=None, size=2)
+        else:
+            it = iter(batches)
+        for batch in it:
+            if mode == "staged":
+                db = jax.tree.map(jnp.asarray, batch)
+            elif mode == "resident":
+                db = resident_batch
+            else:
+                db = batch
             rng, sub = jax.random.split(rng)
             state, logs = step(state, db, sub)
             acc.push(logs)
@@ -179,15 +192,14 @@ def run_prestaged_mode(args, cfg, robot, model):
         jax.block_until_ready(state.params)
         return state, rng, time.perf_counter() - t0, acc.mean("loss")
 
-    state, rng, dt, _ = one_epoch(state, rng, staged=True)   # compile
+    state, rng, dt, _ = one_epoch(state, rng, mode="staged")   # compile
     print(f"# prestaged warmup: {n_batches} steps in {dt:.1f}s",
           file=sys.stderr)
     out = {}
-    for mode in ("resident", "staged"):
+    for mode in ("resident", "staged", "prefetched"):
         dts = []
         for _ in range(2):
-            state, rng, dt, loss = one_epoch(state, rng,
-                                             staged=(mode == "staged"))
+            state, rng, dt, loss = one_epoch(state, rng, mode)
             dts.append(dt)
         dt = sum(dts) / len(dts)
         out[mode] = round(n_batches * args.batch_size / dt, 1)
@@ -196,8 +208,10 @@ def run_prestaged_mode(args, cfg, robot, model):
                       "value": out["resident"],
                       "unit": "images/sec/chip",
                       "staged": out["staged"],
+                      "prefetched": out["prefetched"],
                       "resident_ms_per_step": out["resident_ms_per_step"],
                       "staged_ms_per_step": out["staged_ms_per_step"],
+                      "prefetched_ms_per_step": out["prefetched_ms_per_step"],
                       "batch_size": args.batch_size,
                       "loss": round(float(loss), 2)}))
 

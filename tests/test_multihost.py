@@ -54,6 +54,24 @@ def test_distributed_sampler_pad_wraps_instead_of_dropping():
     assert len(flat) == 12, "wrap-around duplicates fill the tail"
 
 
+def test_distributed_sampler_pad_tiny_base_fills_every_rank():
+    """len(base) < total/2 (a 3-sample eval set on 8 processes): the pad
+    must REPEAT the epoch so every rank still yields exactly len(self)
+    indices — a short rank would deadlock the validate loops' allgather
+    collectives on a pod (round-4 advisor finding)."""
+    base = ListSampler([10, 11, 12])
+    parts = [list(DistributedSampler(base, rank=r, count=8, pad=True))
+             for r in range(8)]
+    assert all(len(p) == 1 for p in parts), parts
+    flat = [i for p in parts for i in p]
+    assert set(flat) == {10, 11, 12}, "every sample still evaluated"
+    # deterministic repetition order: epoch repeated then truncated
+    assert flat == [10, 11, 12, 10, 11, 12, 10, 11]
+    # empty base stays a no-op (no ZeroDivisionError, no indices)
+    assert list(DistributedSampler(ListSampler([]), rank=0, count=8,
+                                   pad=True)) == []
+
+
 def test_distributed_sampler_reshuffles_with_base():
     """Per-epoch reshuffling of the base sampler flows through the view."""
     class TwoEpoch:
@@ -149,6 +167,29 @@ def test_maybe_initialize_env_modes(monkeypatch):
     monkeypatch.setenv("HOROPOSE_DISTRIBUTED", "auto")
     assert maybe_initialize(verbose=False) is True
     assert calls.pop() == ((), {})
+
+
+def test_maybe_initialize_names_missing_env_vars(monkeypatch):
+    """Coordinator set without its companions must raise a ValueError that
+    NAMES the missing variable(s), not an opaque KeyError (round-4 advisor
+    finding)."""
+    from horopose_tpu.parallel.multihost import maybe_initialize
+    monkeypatch.setattr("jax.distributed.initialize",
+                        lambda *a, **kw: None)
+    monkeypatch.setenv("HOROPOSE_COORDINATOR", "node0:1234")
+    for var in ("HOROPOSE_NUM_PROCESSES", "HOROPOSE_PROCESS_ID",
+                "HOROPOSE_DISTRIBUTED"):
+        monkeypatch.delenv(var, raising=False)
+    with pytest.raises(ValueError) as ei:
+        maybe_initialize(verbose=False)
+    assert "HOROPOSE_NUM_PROCESSES" in str(ei.value)
+    assert "HOROPOSE_PROCESS_ID" in str(ei.value)
+
+    monkeypatch.setenv("HOROPOSE_NUM_PROCESSES", "4")
+    with pytest.raises(ValueError) as ei:
+        maybe_initialize(verbose=False)
+    assert "HOROPOSE_PROCESS_ID" in str(ei.value)
+    assert "HOROPOSE_NUM_PROCESSES" not in str(ei.value)
 
 
 def _free_port():
