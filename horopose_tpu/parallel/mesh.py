@@ -115,15 +115,15 @@ def shard_batch(batch, mesh: Mesh):
 def prefetch_to_device(iterator, mesh: Optional[Mesh] = None, size: int = 2):
     """Stage loader batches onto device `size` steps ahead of consumption.
 
-    device_put / make_array_from_process_local_data are asynchronous under
-    PJRT: issuing the NEXT batches' host->device transfers while the
-    current step executes overlaps input staging with compute instead of
-    serializing them at the jitted call boundary (the reference's loop
-    pays exactly this serialization via per-batch `.cuda()` casts,
-    /root/reference/lib/core/function.py:27-40). With a mesh the batch is
-    placed batch-sharded over 'data' (shard_batch); without one the leaves
-    are device_put whole. size=0/None disables (yields batches untouched,
-    the trainers' cfg.prefetch_batches=0 escape hatch); size extra batches
+    Host->device transfers are asynchronous under PJRT: issuing the NEXT
+    batches' transfers while the current step executes overlaps input
+    staging with compute instead of serializing them at the jitted call
+    boundary (the reference's loop pays exactly this serialization via
+    per-batch `.cuda()` casts, /root/reference/lib/core/function.py:27-40).
+    With a mesh the batch is placed batch-sharded over 'data'
+    (shard_batch); without one the leaves become default-device arrays
+    (jnp.asarray). size=0/None disables (yields batches untouched, the
+    trainers' cfg.prefetch_batches=0 escape hatch); size extra batches
     live on device (~25 MB each at the flagship b64).
     """
     if not size:
@@ -134,9 +134,13 @@ def prefetch_to_device(iterator, mesh: Optional[Mesh] = None, size: int = 2):
     if mesh is not None:
         stage = lambda b: shard_batch(b, mesh)  # noqa: E731
     else:
-        dev = jax.devices()[0]
-        stage = lambda b: jax.tree.map(  # noqa: E731
-            lambda x: jax.device_put(x, dev), b)
+        # jnp.asarray, NOT device_put(x, device): a committed array keys a
+        # DIFFERENT jit-cache entry than the uncommitted arrays the
+        # un-prefetched path passes, and the resulting silent recompile of
+        # a train step costs minutes (measured; see PERF_NOTES round 5).
+        # The transfer is equally asynchronous either way.
+        import jax.numpy as jnp
+        stage = lambda b: jax.tree.map(jnp.asarray, b)  # noqa: E731
     queue = deque()
     for b in iterator:
         queue.append(stage(b))
