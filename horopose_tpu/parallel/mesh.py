@@ -121,12 +121,15 @@ def prefetch_to_device(iterator, mesh: Optional[Mesh] = None, size: int = 2):
     boundary (the reference's loop pays exactly this serialization via
     per-batch `.cuda()` casts, /root/reference/lib/core/function.py:27-40).
     With a mesh the batch is placed batch-sharded over 'data'
-    (shard_batch); without one the leaves become default-device arrays
-    (jnp.asarray). size=0/None disables (yields batches untouched, the
-    trainers' cfg.prefetch_batches=0 escape hatch); size extra batches
-    live on device (~25 MB each at the flagship b64).
+    (shard_batch — on multi-process pods that is also the global-array
+    assembly, so it is applied even at size=0); without one the leaves
+    become default-device arrays (jnp.asarray). size=0/None disables the
+    lookahead (the trainers' cfg.prefetch_batches=0 escape hatch): no-mesh
+    batches pass through untouched, mesh batches are still sharded at
+    consumption time. size extra batches live on device (~25 MB each at
+    the flagship b64).
     """
-    if not size:
+    if not size and mesh is None:
         yield from iterator
         return
     from collections import deque
@@ -141,6 +144,10 @@ def prefetch_to_device(iterator, mesh: Optional[Mesh] = None, size: int = 2):
         # The transfer is equally asynchronous either way.
         import jax.numpy as jnp
         stage = lambda b: jax.tree.map(jnp.asarray, b)  # noqa: E731
+    if not size:
+        for b in iterator:
+            yield stage(b)
+        return
     queue = deque()
     for b in iterator:
         queue.append(stage(b))

@@ -49,6 +49,22 @@ def test_prefetch_size_zero_is_passthrough():
     assert out[0] is src[0] and out[1] is src[1]
 
 
+def test_prefetch_size_zero_with_mesh_still_shards():
+    """prefetch_batches=0 disables the lookahead, NOT the sharding: on a
+    mesh the batch must still go through shard_batch (on pods that call is
+    also the global-array assembly — skipping it would hand the step
+    process-local numpy)."""
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(8)
+    src = _batches(2, seed=2)
+    out = list(prefetch_to_device(iter(src), mesh=mesh, size=0))
+    assert len(out) == 2
+    want = data_sharding(mesh)
+    for a, b in zip(out, src):
+        assert a["x"].sharding.is_equivalent_to(want, a["x"].ndim)
+        np.testing.assert_array_equal(np.asarray(a["x"]), b["x"])
+
+
 def test_prefetch_short_iterator_drains():
     # fewer batches than the prefetch depth: everything still comes out
     src = _batches(1)
