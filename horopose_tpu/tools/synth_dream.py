@@ -30,6 +30,41 @@ from PIL import Image
 from horopose_tpu import constants as C
 
 
+def _axis_angle(axis, theta):
+    axis = axis / np.linalg.norm(axis)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def _rotmat_to_quat_xyzw(M):
+    """Standard rotation-matrix -> quaternion, xyzw order. The reader's
+    decode chain (_quat_xyzw_to_rotmat) composes to a standard xyzw
+    decoder, so this is its exact inverse."""
+    w = np.sqrt(max(1.0 + M[0, 0] + M[1, 1] + M[2, 2], 0.0)) / 2.0
+    if w > 1e-6:
+        x = (M[2, 1] - M[1, 2]) / (4 * w)
+        y = (M[0, 2] - M[2, 0]) / (4 * w)
+        z = (M[1, 0] - M[0, 1]) / (4 * w)
+    else:  # w ~ 0: pick the dominant diagonal term
+        i = int(np.argmax([M[0, 0], M[1, 1], M[2, 2]]))
+        j, k = (i + 1) % 3, (i + 2) % 3
+        s = np.sqrt(max(1.0 + M[i, i] - M[j, j] - M[k, k], 1e-12)) * 2
+        v = np.zeros(3)
+        v[i] = s / 4
+        v[j] = (M[j, i] + M[i, j]) / s
+        v[k] = (M[k, i] + M[i, k]) / s
+        w = (M[k, j] - M[j, k]) / s
+        x, y, z = v
+    return np.array([x, y, z, w])
+
+
+# canonical "upright robot seen from the front" base->camera rotation:
+# camera y (image down) = -base z (robot up), camera z = base y
+_R_UPRIGHT = np.array([[1.0, 0, 0], [0, 0, -1.0], [0, 1.0, 0]])
+
+
 def _background(rng, h, w):
     """Low-frequency gradient + mild noise: non-constant, but not a
     distractor for the rendered robot."""
@@ -46,11 +81,20 @@ def _background(rng, h, w):
 def make_synthetic_dream_dataset(base_dir, robot_type="panda", n_images=6,
                                  seed=0, image_hw=(480, 640),
                                  synthetic=True, split="test_dr",
-                                 render_images=False) -> Path:
+                                 render_images=False,
+                                 view_mode="random",
+                                 view_jitter_deg=25.0) -> Path:
     """Write n_images DREAM-format samples under base_dir.
 
     Directory name matters to the reader: include 'synthetic' for the 0.01
     translation scale and the robot name for keypoint table selection.
+
+    view_mode:
+      - "random": uniformly random base orientation (stress-test pose
+        coverage; the historical fixture behavior),
+      - "upright": robot upright, random azimuth, camera tilt jittered by
+        <= view_jitter_deg — the DREAM-like bounded-viewpoint regime the
+        learning demo trains in.
     """
     import jax.numpy as jnp
 
@@ -90,20 +134,41 @@ def make_synthetic_dream_dataset(base_dir, robot_type="panda", n_images=6,
             {n: i for i, n in enumerate(robot.plan.link_names)})
 
     for i in range(n_images):
-        # random base pose: decode path defines the rotation; keep the robot
+        # base pose: the decode path defines the rotation; keep the robot
         # in front of the camera
-        q = rng.randn(4)
-        q /= np.linalg.norm(q)
-        R = _quat_xyzw_to_rotmat(q) @ R_NORMAL_UE
-        trans = np.array([rng.uniform(-0.2, 0.2), rng.uniform(-0.2, 0.2),
-                          rng.uniform(1.2, 2.2)])
-        TCO = np.eye(4)
-        TCO[:3, :3] = R
-        TCO[:3, 3] = trans
+        if view_mode == "upright":
+            az = rng.uniform(0, 2 * np.pi)
+            Rz = _axis_angle(np.array([0.0, 0, 1]), az)
+            theta = np.deg2rad(rng.uniform(0, view_jitter_deg))
+            axis = rng.randn(3)
+            R = _axis_angle(axis, theta) @ _R_UPRIGHT @ Rz
+            q = _rotmat_to_quat_xyzw(R @ R_NORMAL_UE.T)
+            # round-trip through the reader's decode so annotations are
+            # exact even if q normalization nudges the matrix
+            R = _quat_xyzw_to_rotmat(q) @ R_NORMAL_UE
+        else:
+            q = rng.randn(4)
+            q /= np.linalg.norm(q)
+            R = _quat_xyzw_to_rotmat(q) @ R_NORMAL_UE
 
         cfg = rng.uniform(bounds[:, 0] * 0.5, bounds[:, 1] * 0.5)
         kp_base = np.asarray(robot.get_keypoints_only_fk(
             jnp.asarray(cfg, jnp.float32)[None]))[0].astype(np.float64)
+
+        if view_mode == "upright":
+            # frame the robot: its keypoint centroid lands near the optical
+            # axis (otherwise an upright arm extends out of the image top)
+            target = np.array([rng.uniform(-0.15, 0.15),
+                               rng.uniform(-0.1, 0.1),
+                               rng.uniform(1.5, 2.4)])
+            trans = target - R @ kp_base.mean(axis=0)
+        else:
+            trans = np.array([rng.uniform(-0.2, 0.2),
+                              rng.uniform(-0.2, 0.2),
+                              rng.uniform(1.2, 2.2)])
+        TCO = np.eye(4)
+        TCO[:3, :3] = R
+        TCO[:3, 3] = trans
         kp_cam = (R @ kp_base.T).T + trans
         proj = (K @ kp_cam.T).T
         kp2d = proj[:, :2] / proj[:, 2:3]

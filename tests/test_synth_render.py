@@ -40,3 +40,26 @@ def test_rendered_fixture_is_pose_correlated(tmp_path):
                       occlusion_augmentation=False)
     s = ds[0]
     assert s["keypoints_2d_original"].shape[-1] == 2
+
+
+def test_upright_mode_encodes_exact_rotation(tmp_path):
+    """view_mode='upright' synthesizes a target rotation and must encode it
+    as quaternion_xyzw such that the READER's decode reproduces it: the
+    loaded TCO has to reproject the annotated keypoints exactly."""
+    root = make_synthetic_dream_dataset(
+        tmp_path / "dream", "panda", n_images=3, seed=4,
+        image_hw=(120, 160), split="train_dr", view_mode="upright")
+    ds = DreamDataset(root, color_jitter=False, rgb_augmentation=False,
+                      occlusion_augmentation=False)
+    for i in range(3):
+        s = ds[i]
+        TCO = np.asarray(s["TCO"], np.float64)
+        kp3d = np.asarray(s["keypoints_3d_original"], np.float64)
+        K = np.asarray(s["K_original"], np.float64)
+        proj = (K @ kp3d.T).T
+        uv = proj[:, :2] / proj[:, 2:3]
+        np.testing.assert_allclose(uv, s["keypoints_2d_original"],
+                                   atol=1e-3)
+        # all keypoints framed (the upright regime centers the centroid)
+        assert (uv[:, 0] > -1).all() and (uv[:, 0] < 161).all()
+        assert (TCO[2, 3] > 0.5)
