@@ -172,8 +172,10 @@ class SegTeacher:
     def init_random(rng, image_hw=(480, 640), scale=0.5, num_keypoints=7):
         model = KeypointSegNet(num_keypoints=num_keypoints)
         hw = (int(image_hw[0] * scale), int(image_hw[1] * scale))
-        variables = model.init(rng, jnp.zeros((1, hw[0], hw[1], 3)),
-                               train=False)
+        # jitted init: one executable, not thousands of tiny dispatches
+        # (critical over remote-PJRT; see pipelines/common.py jit_init)
+        variables = jax.jit(lambda r: model.init(
+            r, jnp.zeros((1, hw[0], hw[1], 3)), train=False))(rng)
         return SegTeacher(variables, image_hw, scale, num_keypoints)
     init_random = staticmethod(init_random)
 

@@ -44,6 +44,20 @@ def set_seed(seed: int = C.GLOBAL_SEED):
     np.random.seed(seed)
 
 
+def jit_init(model, rng, *args, train=False):
+    """model.init under jit: one compiled executable instead of thousands
+    of tiny op dispatches. On remote-PJRT backends (the axon tunnel) every
+    un-jitted op is a network round trip, which turns an eager flagship
+    init into >10 minutes; jitted it is seconds (bench.py:46-52 pattern).
+    Weights are identical either way (same PRNG stream)."""
+    import jax
+
+    def _init(r, *a):
+        return model.init({"params": r, "dropout": r}, *a, train=train)
+
+    return jax.jit(_init)(rng, *args)
+
+
 def make_robot(cfg) -> Robot:
     return Robot(cfg.urdf_robot_name,
                  urdf_path=resolve_urdf_path(cfg.urdf_robot_name))

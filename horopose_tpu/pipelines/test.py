@@ -150,10 +150,11 @@ def test_network(cfg, ckpt_name: str = "curr_best_auc(add)_model.pk",
     from horopose_tpu.pipelines.common import crop_sizes as _crop_sizes
     rootnet_hw0, other_hw0 = _crop_sizes(cfg)
     rng = jax.random.PRNGKey(0)
-    variables = model.init({"params": rng, "dropout": rng},
-                           jnp.zeros((1, *other_hw0, 3)),
-                           jnp.zeros((1, *rootnet_hw0, 3)), jnp.ones((1,)),
-                           jnp.eye(3)[None], train=False)
+    from horopose_tpu.pipelines.common import jit_init
+    variables = jit_init(model, rng,
+                         jnp.zeros((1, *other_hw0, 3)),
+                         jnp.zeros((1, *rootnet_hw0, 3)), jnp.ones((1,)),
+                         jnp.eye(3)[None])
     state = create_train_state(variables, tx)
     # --ckpt accepts a name under <exp_path>/ckpt OR a direct path — e.g. a
     # reference model-zoo checkpoint converted with

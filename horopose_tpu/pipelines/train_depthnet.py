@@ -49,8 +49,8 @@ def train_depthnet(cfg, max_epochs: int = None, max_steps_per_epoch: int = None)
     size = int(cfg.image_size)
     dummy_img = jnp.zeros((1, size, size, 3))
     dummy_k = jnp.ones((1,))
-    variables = model.init({"params": rng, "dropout": rng}, dummy_img,
-                           dummy_k, train=False)
+    from horopose_tpu.pipelines.common import jit_init
+    variables = jit_init(model, rng, dummy_img, dummy_k)
     tx = make_optimizer(cfg, steps_per_epoch)
     state = create_train_state(variables, tx)
     if cfg.get("backbone_pretrained"):

@@ -45,14 +45,13 @@ def init_fullnet_state(cfg, model, tx, rng=None):
     # follows other_image_size, the root branch rootnet_image_size
     # (reference: utils.py:77-78); a square cfg.image_size dummy crashes
     # model.init whenever other_image_size != image_size
-    from horopose_tpu.pipelines.common import crop_sizes
+    from horopose_tpu.pipelines.common import crop_sizes, jit_init
     rootnet_hw, other_hw = crop_sizes(cfg)
     k = jnp.ones((1,))
     K = jnp.eye(3)[None]
-    variables = model.init({"params": rng, "dropout": rng},
-                           jnp.zeros((1, *other_hw, 3)),
-                           jnp.zeros((1, *rootnet_hw, 3)), k,
-                           K, train=False)
+    variables = jit_init(model, rng,
+                         jnp.zeros((1, *other_hw, 3)),
+                         jnp.zeros((1, *rootnet_hw, 3)), k, K)
     state = create_train_state(variables, tx)
     # ImageNet backbone init first (full_net.py:413-415); a stage-1
     # pretrained_rootnet checkpoint below then overrides rootnet_backbone

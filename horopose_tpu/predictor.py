@@ -108,10 +108,10 @@ class Predictor:
         predictor = cls(cfg, None, dtype=dtype, mesh=mesh)
         rng = jax.random.PRNGKey(0)
         s, rs = predictor.size, predictor.root_size
-        variables = predictor.model.init(
-            {"params": rng, "dropout": rng}, jnp.zeros((1, s, s, 3)),
-            jnp.zeros((1, rs, rs, 3)), jnp.ones((1,)), jnp.eye(3)[None],
-            train=False)
+        from horopose_tpu.pipelines.common import jit_init
+        variables = jit_init(
+            predictor.model, rng, jnp.zeros((1, s, s, 3)),
+            jnp.zeros((1, rs, rs, 3)), jnp.ones((1,)), jnp.eye(3)[None])
         ckpt_path = os.path.join(exp_path, "ckpt", ckpt_name)
         if os.path.exists(ckpt_path):
             tx = make_optimizer(cfg, 1)
